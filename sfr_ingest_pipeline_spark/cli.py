@@ -1,0 +1,190 @@
+"""Command-line entry points — the engine's user surface.
+
+Run via spark-submit (multi-executor) or plain python (local):
+
+    # generate a seeded synthetic binlog
+    python -m sfr_ingest_pipeline_spark.cli generate \
+        --out /tmp/binlog --events 1000000 --segments 64 --zipf 1.2
+
+    # bounded CDC replay: tail the binlog, MERGE into the table, stop
+    spark-submit --py-files engine.zip -m ... # or locally:
+    python -m sfr_ingest_pipeline_spark.cli replay \
+        --binlog /tmp/binlog --table /tmp/table --checkpoint /tmp/ckpt
+
+    # inspect snapshots / counters / lineage
+    python -m sfr_ingest_pipeline_spark.cli history --table /tmp/table
+
+    # read the converged table
+    python -m sfr_ingest_pipeline_spark.cli scan --table /tmp/table --limit 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_spark_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def _get_spark(args):
+    from sfr_ingest_pipeline_spark.session import get_spark
+
+    extra = {}
+    if args.shuffle_partitions:
+        extra["spark.sql.shuffle.partitions"] = str(args.shuffle_partitions)
+    return get_spark(master=args.master, extra_confs=extra)
+
+
+def cmd_generate(args) -> int:
+    from sfr_ingest_pipeline_spark.generator import generate_binlog
+
+    t0 = time.time()
+    n = generate_binlog(
+        args.out,
+        seed=args.seed,
+        n_conversations=args.conversations,
+        n_events=args.events,
+        n_segments=args.segments,
+        delete_ratio=args.delete_ratio,
+        duplicate_ratio=args.duplicate_ratio,
+        late_ratio=args.late_ratio,
+        ts_tie_ratio=args.ts_tie_ratio,
+        zipf_s=args.zipf,
+        schema_v2_from_segment=args.v2_from_segment,
+    )
+    print(json.dumps({"events": n, "segments": args.segments,
+                      "out": args.out, "sec": round(time.time() - t0, 2)}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.schema import (
+        CHANGE_EVENT_SCHEMA,
+        CHANGE_EVENT_SCHEMA_V2,
+    )
+    from sfr_ingest_pipeline_spark.streaming.replay import replay_stream
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = EngineConfig(
+        n_buckets=args.buckets,
+        n_salt=args.salt,
+        shuffle_partitions=args.shuffle_partitions or 32,
+    )
+    schema = CHANGE_EVENT_SCHEMA_V2 if args.v2_schema else CHANGE_EVENT_SCHEMA
+    t0 = time.time()
+    results = replay_stream(
+        spark,
+        args.binlog,
+        args.table,
+        args.checkpoint,
+        config=cfg,
+        event_schema=schema,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    wall = time.time() - t0
+    rows_in = sum(r.rows_in for r in results)
+    out = {
+        "batches": len(results),
+        "skipped": sum(1 for r in results if r.skipped),
+        "rows_in": rows_in,
+        "events_applied": sum(r.events_applied for r in results),
+        "dedup_dropped": sum(r.dedup_dropped for r in results),
+        "merge_conflicts": sum(r.merge_conflicts for r in results),
+        "sec": round(wall, 2),
+        "events_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_history(args) -> int:
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    table = TranscriptTable.load(args.table)
+    for snap in table.history():
+        props = snap.properties
+        print(json.dumps({
+            "snapshot_id": snap.snapshot_id,
+            "parent_id": snap.parent_id,
+            "schema_id": snap.schema_id,
+            "files": len(snap.files),
+            "rows": sum(f.rows for f in snap.files),
+            "batch_id": props.get("batch_id"),
+            "counters": props.get("counters"),
+            "touched_buckets": sorted(props.get("lineage", {}).keys(), key=int)
+            if props.get("lineage") else [],
+        }))
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    table = TranscriptTable.load(args.table)
+    if args.as_of_batch is not None:
+        table = table.load_snapshot_as_of_batch(args.as_of_batch)
+    df = table.scan(spark, with_meta=args.with_meta)
+    df = df.orderBy("conv_id", "turn_idx")
+    if args.limit:
+        df = df.limit(args.limit)
+    for row in df.collect():
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}, ensure_ascii=False))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sfr_ingest_pipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a seeded synthetic binlog")
+    g.add_argument("--out", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--conversations", type=int, default=1000)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--segments", type=int, default=16)
+    g.add_argument("--delete-ratio", type=float, default=0.05)
+    g.add_argument("--duplicate-ratio", type=float, default=0.05)
+    g.add_argument("--late-ratio", type=float, default=0.05)
+    g.add_argument("--ts-tie-ratio", type=float, default=0.05)
+    g.add_argument("--zipf", type=float, default=0.0)
+    g.add_argument("--v2-from-segment", type=int, default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    r = sub.add_parser("replay", help="bounded CDC replay binlog -> table")
+    r.add_argument("--binlog", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--buckets", type=int, default=16)
+    r.add_argument("--salt", type=int, default=8)
+    r.add_argument("--max-files-per-trigger", type=int, default=None)
+    r.add_argument("--v2-schema", action="store_true")
+    _add_spark_args(r)
+    r.set_defaults(fn=cmd_replay)
+
+    h = sub.add_parser("history", help="print snapshot log")
+    h.add_argument("--table", required=True)
+    h.set_defaults(fn=cmd_history)
+
+    s = sub.add_parser("scan", help="read the converged table")
+    s.add_argument("--table", required=True)
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--as-of-batch", type=int, default=None)
+    s.add_argument("--with-meta", action="store_true")
+    _add_spark_args(s)
+    s.set_defaults(fn=cmd_scan)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

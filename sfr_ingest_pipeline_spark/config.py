@@ -1,0 +1,65 @@
+"""Engine configuration.
+
+All scale-relevant knobs live here so a 1000-executor deployment tunes one
+object instead of hunting constants. Defaults are sized for local[32] tests;
+the docstrings say how each knob moves at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for the CDC apply path (SURVEY.md §4.3).
+
+    Attributes
+    ----------
+    n_buckets:
+        Number of hash buckets the transcripts table is clustered into by
+        ``pmod(xxhash64(conv_id), n_buckets)``. MERGE only reads/rewrites
+        buckets touched by a microbatch (copy-on-write file pruning). At
+        100 TB raise this so each bucket's live data is ~128-512 MB
+        (e.g. 2^14 buckets); locally 16 keeps file counts small.
+    n_salt:
+        Salt fan-out for the two-phase LWW reduce. Hot (conv_id, turn_idx)
+        keys (many duplicate deliveries of the same turn) are first reduced
+        on (key, salt) then on (key), so no single reducer sees the whole
+        hot key. 0/1 disables phase one.
+    target_file_rows:
+        Soft cap on rows per written data file; the writer adds
+        ``ceil(rows/target_file_rows)`` shuffle partitions per bucket.
+    lww_two_phase_threshold:
+        Per-batch row count under which the salted phase is skipped —
+        at small batches the extra shuffle costs more than skew could.
+    shuffle_partitions:
+        Default spark.sql.shuffle.partitions for apply jobs. With AQE on,
+        this is an upper bound that AQE coalesces down from.
+    """
+
+    n_buckets: int = 16
+    n_salt: int = 8
+    target_file_rows: int = 2_000_000
+    lww_two_phase_threshold: int = 100_000
+    shuffle_partitions: int = 32
+    # Columns that make up the natural key of a transcript turn.
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    # Columns defining the last-writer-wins total order (major..minor).
+    order_cols: tuple[str, ...] = ("ts", "event_seq")
+    # Spark confs applied by session helpers / spark-submit wrappers.
+    spark_confs: dict = field(
+        default_factory=lambda: {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.parquet.compression.codec": "zstd",
+        }
+    )
+
+
+DEFAULT_CONFIG = EngineConfig()

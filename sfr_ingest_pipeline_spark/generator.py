@@ -1,0 +1,212 @@
+"""Deterministic synthetic change-event (binlog/WAL) generator.
+
+Produces append-only Parquet "binlog segments" (segment-%06d.parquet) of
+insert/update/delete events on conversation turns — the file-source analog of
+the reference's Kinesis record bus (SURVEY.md §2.1 S5). Seed-fixed; streams
+one segment at a time so arbitrarily large binlogs never materialize in
+memory (memory is O(live keys + one segment), not O(events)) — the honest
+path toward the 10^10-event story in BASELINE.json:2.
+
+Event semantics (FIXTURES.md §A2):
+  - key (conv_id, turn_idx); LWW order (ts, event_seq); event_seq globally
+    unique and monotonically increasing in *generation* order.
+  - ops: first touch of a key is I; later U (payload change) or D (delete);
+    a deleted key may be re-inserted (delete-then-reinsert case).
+  - exact re-delivery duplicates (same event_seq, identical row) with
+    probability duplicate_ratio — at-least-once transport, like the
+    reference's SQS/Kinesis redelivery.
+  - late events: held back and emitted 1-3 segments after their ts
+    (late_ratio) — exercises cross-batch LWW in the MERGE path.
+  - ts ties (ts_tie_ratio): consecutive events share a timestamp so
+    event_seq must break the tie.
+  - hot-key skew: zipf_s > 0 draws conversations from a Zipf law.
+  - schema evolution: from segment `schema_v2_from_segment` on, events carry
+    a tool_meta JSON column (FIXTURES.md §A3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import deque
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sfr_ingest_pipeline_spark.schema import (
+    ARROW_EVENT_SCHEMA,
+    ARROW_EVENT_SCHEMA_V2,
+)
+
+_ROLES = ("user", "assistant", "system", "tool")
+_TOOLS = ("search", "calculator", "browser", "python", "sql")
+# Unicode-bearing fragments: NFD decomposed, CJK, emoji, controls, odd spaces
+# — chosen to exercise every normalizer rule (functions/normalize.py).
+_TEXT_FRAGMENTS = (
+    "hello world",
+    "café au lait",          # NFD e + combining acute -> NFC é
+    "éclair et naïve",   # precomposed
+    "漢字とカタカナ",
+    "emoji \U0001f600\U0001f680 done",
+    "tab\tseparated\tvalues",
+    "ctrl\x07chars\x1bhere",       # BEL, ESC -> stripped
+    "line one\r\nline two\rthree",
+    "  padded   with    spaces  ",
+    "zero\x00byte",
+    "Ω≈ç√∫ unicode math",
+    "Ångström Å vs Å",       # precomposed vs decomposed
+)
+
+
+@dataclass(frozen=True)
+class GeneratorSpec:
+    seed: int = 42
+    n_conversations: int = 100
+    mean_turns: float = 8.0
+    n_events: int = 5_000
+    n_segments: int = 10
+    delete_ratio: float = 0.05
+    duplicate_ratio: float = 0.05
+    late_ratio: float = 0.05
+    ts_tie_ratio: float = 0.05
+    zipf_s: float = 0.0
+    schema_v2_from_segment: int | None = None
+
+
+class BinlogGenerator:
+    """Streaming generator: iterate segments as pyarrow Tables."""
+
+    def __init__(self, spec: GeneratorSpec):
+        self.spec = spec
+        self._rng = np.random.default_rng(spec.seed)
+        # turns per conversation: 1 + geometric(mean)
+        p = min(1.0, 1.0 / max(spec.mean_turns, 1.0))
+        self._turns = 1 + self._rng.geometric(p, size=spec.n_conversations)
+        if spec.zipf_s > 0:
+            # Zipf rank weights over conversations (rank 0 hottest).
+            w = 1.0 / np.arange(1, spec.n_conversations + 1) ** spec.zipf_s
+            self._conv_probs = w / w.sum()
+        else:
+            self._conv_probs = None
+
+    # -- low-level event builder ------------------------------------------
+    def _make_text(self) -> str:
+        frag = _TEXT_FRAGMENTS[int(self._rng.integers(len(_TEXT_FRAGMENTS)))]
+        return f"{frag} #{int(self._rng.integers(1_000_000))}"
+
+    def iter_segments(self) -> Iterator[pa.Table]:
+        spec = self.spec
+        rng = self._rng
+        per_segment = max(1, spec.n_events // spec.n_segments)
+        live: set[tuple[str, int]] = set()
+        recent: deque = deque(maxlen=256)          # redelivery pool
+        late: list[tuple[int, dict]] = []          # (target_segment, event)
+        ts_us = 1_700_000_000_000_000              # 2023-11-14T22:13:20Z
+        event_seq = 0
+        emitted = 0
+
+        for seg_no in range(spec.n_segments):
+            v2 = (
+                spec.schema_v2_from_segment is not None
+                and seg_no >= spec.schema_v2_from_segment
+            )
+            rows: list[dict] = []
+            # flush late events whose time has come
+            still_late = []
+            for tgt, ev in late:
+                if tgt <= seg_no:
+                    rows.append(ev)
+                else:
+                    still_late.append((tgt, ev))
+            late = still_late
+
+            while len(rows) < per_segment and emitted < spec.n_events:
+                if rng.random() >= spec.ts_tie_ratio:
+                    ts_us += int(rng.integers(1, 1000))
+                if self._conv_probs is not None:
+                    conv_no = int(rng.choice(spec.n_conversations, p=self._conv_probs))
+                else:
+                    conv_no = int(rng.integers(spec.n_conversations))
+                conv_id = f"conv-{conv_no:08d}"
+                turn_idx = int(rng.integers(self._turns[conv_no]))
+                key = (conv_id, turn_idx)
+
+                if key not in live:
+                    op = "I"
+                    live.add(key)
+                elif rng.random() < spec.delete_ratio:
+                    op = "D"
+                    live.discard(key)
+                else:
+                    op = "U"
+
+                role = _ROLES[int(rng.integers(len(_ROLES)))]
+                ev = {
+                    "op": op,
+                    "conv_id": conv_id,
+                    "turn_idx": turn_idx,
+                    "role": None if op == "D" else role,
+                    "text": None if op == "D" else self._make_text(),
+                    "tool": (
+                        _TOOLS[int(rng.integers(len(_TOOLS)))]
+                        if op != "D" and role == "tool"
+                        else None
+                    ),
+                    "ts": ts_us,
+                    "event_seq": event_seq,
+                }
+                if v2:
+                    ev["tool_meta"] = (
+                        json.dumps({"latency_ms": int(rng.integers(1, 5000))})
+                        if ev["tool"] is not None
+                        else None
+                    )
+                event_seq += 1
+                emitted += 1
+
+                if spec.late_ratio > 0 and rng.random() < spec.late_ratio:
+                    late.append((seg_no + 1 + int(rng.integers(3)), ev))
+                else:
+                    rows.append(ev)
+                    recent.append(ev)
+
+                if recent and rng.random() < spec.duplicate_ratio:
+                    dup = recent[int(rng.integers(len(recent)))]
+                    rows.append(dict(dup))  # exact re-delivery
+
+            if seg_no == spec.n_segments - 1:
+                rows.extend(ev for _, ev in late)  # drain stragglers
+                late = []
+
+            yield self._to_table(rows, v2)
+
+    @staticmethod
+    def _to_table(rows: list[dict], v2: bool) -> pa.Table:
+        schema = ARROW_EVENT_SCHEMA_V2 if v2 else ARROW_EVENT_SCHEMA
+        cols = {}
+        for field in schema:
+            name = field.name
+            vals = [r.get(name) for r in rows]
+            if name == "ts":
+                arr = pa.array(vals, type=pa.int64()).cast(pa.timestamp("us"))
+            else:
+                arr = pa.array(vals, type=field.type)
+            cols[name] = arr
+        return pa.table(cols, schema=schema)
+
+    def write_binlog(self, out_dir: str) -> int:
+        """Write segment-%06d.parquet files; returns total event rows."""
+        os.makedirs(out_dir, exist_ok=True)
+        total = 0
+        for i, table in enumerate(self.iter_segments()):
+            pq.write_table(table, os.path.join(out_dir, f"segment-{i:06d}.parquet"))
+            total += table.num_rows
+        return total
+
+
+def generate_binlog(out_dir: str, **spec_kwargs) -> int:
+    """One-call helper: write a seeded binlog; returns total event rows."""
+    return BinlogGenerator(GeneratorSpec(**spec_kwargs)).write_binlog(out_dir)

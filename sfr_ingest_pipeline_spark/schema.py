@@ -1,0 +1,122 @@
+"""Schemas for the change-event stream and the transcripts table.
+
+Normative shapes from BASELINE.json:15 (input_hint) and FIXTURES.md §A:
+
+  transcripts:    conv_id:string, turn_idx:int32, role:string, text:string,
+                  tool:string, ts:timestamp
+  change_events:  op:string(I/U/D) + transcript payload + event_seq:int64
+
+The physical table additionally stores ``event_seq`` of the winning write so
+cross-batch late events can lose last-writer-wins against committed state
+(SURVEY.md §2.11 MERGE condition). Schema evolution is additive: new nullable
+columns appended (e.g. ``tool_meta``), old data files null-fill on read.
+
+Reference parity: the reference's FRBR object graph (Work/Instance/Item,
+core/model/*.py in NYPL/sfr-ingest-pipeline) collapses here to one wide keyed
+table per SURVEY.md §1.3 — the payload axis swaps books→transcripts, identity
+becomes exact (conv_id, turn_idx) instead of fuzzy identifier lookup.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Logical transcript row (what users of the table see).
+# ---------------------------------------------------------------------------
+TRANSCRIPT_FIELDS = [
+    ("conv_id", T.StringType(), False),
+    ("turn_idx", T.IntegerType(), False),
+    ("role", T.StringType(), True),
+    ("text", T.StringType(), True),
+    ("tool", T.StringType(), True),
+    ("ts", T.TimestampType(), True),
+]
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [T.StructField(n, t, nullable) for n, t, nullable in TRANSCRIPT_FIELDS]
+)
+
+# Hidden bookkeeping column: LWW tiebreak of the winning write. Excluded from
+# user-facing scans unless with_meta=True.
+META_SEQ_COL = "event_seq"
+
+# ---------------------------------------------------------------------------
+# Change event (binlog/WAL record). op: I=insert U=update D=delete.
+# ---------------------------------------------------------------------------
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+    ]
+)
+
+# Evolution variant: +tool_meta (JSON blob) — FIXTURES.md §A3.
+CHANGE_EVENT_SCHEMA_V2 = T.StructType(
+    CHANGE_EVENT_SCHEMA.fields
+    + [T.StructField("tool_meta", T.StringType(), True)]
+)
+
+# Payload columns carried from an event into the table (everything except op
+# and the key; ts/event_seq double as the LWW order).
+def payload_cols(event_schema: T.StructType) -> list[str]:
+    return [f.name for f in event_schema.fields if f.name not in ("op",)]
+
+
+# ---------------------------------------------------------------------------
+# Arrow mirrors (generator + oracle run without a SparkSession).
+# ---------------------------------------------------------------------------
+ARROW_EVENT_SCHEMA = pa.schema(
+    [
+        pa.field("op", pa.string(), nullable=False),
+        pa.field("conv_id", pa.string(), nullable=False),
+        pa.field("turn_idx", pa.int32(), nullable=False),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("event_seq", pa.int64(), nullable=False),
+    ]
+)
+
+ARROW_EVENT_SCHEMA_V2 = ARROW_EVENT_SCHEMA.append(
+    pa.field("tool_meta", pa.string())
+)
+
+
+def spark_to_ddl(schema: T.StructType) -> str:
+    """Render a StructType as a DDL string (stable, for snapshot metadata)."""
+    return schema.simpleString()
+
+
+def widen_schema(
+    base: T.StructType, incoming: T.StructType, coerce_existing: bool = False
+) -> T.StructType:
+    """Additive schema evolution: append columns of ``incoming`` missing from
+    ``base`` as nullable — Iceberg-style ADD COLUMN only (BASELINE.json:6
+    'new columns such as tool metadata ... ALTER-on-write').
+
+    For columns already in ``base`` the table schema is authoritative. With
+    ``coerce_existing=True`` (the ingest path) a differing incoming type is
+    accepted — the writer casts the batch to the table type; otherwise a type
+    change raises."""
+    base_names = {f.name for f in base.fields}
+    out = list(base.fields)
+    for f in incoming.fields:
+        if f.name in base_names:
+            existing = next(b for b in base.fields if b.name == f.name)
+            if existing.dataType != f.dataType and not coerce_existing:
+                raise ValueError(
+                    f"unsupported type evolution for column {f.name}: "
+                    f"{existing.dataType} -> {f.dataType}"
+                )
+        else:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)

@@ -1,0 +1,33 @@
+"""SparkSession helper with engine defaults (AQE, Arrow, UTC, zstd)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "sfr-ingest-pipeline-spark",
+    config: EngineConfig = DEFAULT_CONFIG,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session with the engine's scale-minded defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass None and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in config.spark_confs.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    return builder.getOrCreate()

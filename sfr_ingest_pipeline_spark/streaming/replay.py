@@ -1,0 +1,124 @@
+"""Streaming replay spine: binlog tail -> foreachBatch MERGE (SURVEY.md §2.9).
+
+The reference consumes Kinesis/SQS with at-least-once delivery and hand-rolled
+idempotency (lookup-before-insert; SURVEY.md §1.1); here the change tail is a
+Structured Streaming file source over append-only binlog segments, and
+idempotency is structural: Structured Streaming replays a crashed microbatch
+with the SAME batch_id, and ``apply_batch`` skips batch ids already recorded
+in the table's snapshot properties (SURVEY.md §4.4 — the one subtle corner:
+crash between snapshot commit and checkpoint write).
+
+Resume = same checkpointLocation + same table: offsets come from the
+checkpoint, sink state from the snapshot log; both are consulted, neither
+alone is transactional.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+from sfr_ingest_pipeline_spark.operators.merge import MergeResult, apply_batch
+from sfr_ingest_pipeline_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+
+def replay_stream(
+    spark: SparkSession,
+    binlog_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    event_schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    on_batch: Callable[[MergeResult], None] | None = None,
+    fail_after_batch: int | None = None,
+) -> list[MergeResult]:
+    """Tail ``binlog_dir`` and MERGE each microbatch into the table.
+
+    ``available_now=True`` gives a bounded replay that drains everything
+    currently in the binlog then stops (the driver for golden-fixture replays
+    and benchmarks). ``max_files_per_trigger`` bounds microbatch size — at
+    scale, pick it so a microbatch's shuffle fits executor memory.
+
+    ``fail_after_batch`` injects a crash AFTER the snapshot commit of that
+    batch id but BEFORE the streaming checkpoint records it — the §4.4
+    corner; tests use it to prove exactly-once on resume.
+    """
+    if not TranscriptTable.exists(table_root):
+        logical = T.StructType(
+            [f for f in event_schema.fields if f.name not in ("op", "event_seq")]
+        )
+        # start from the v1 transcript schema if the stream carries it;
+        # otherwise the stream's own logical shape
+        base = TRANSCRIPT_SCHEMA if all(
+            f.name in [x.name for x in logical.fields] for f in TRANSCRIPT_SCHEMA.fields
+        ) else logical
+        TranscriptTable.create(table_root, schema=base, n_buckets=config.n_buckets)
+
+    reader = spark.readStream.schema(event_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(binlog_dir)
+
+    results: list[MergeResult] = []
+
+    class _InjectedCrash(RuntimeError):
+        pass
+
+    def _apply(df: DataFrame, batch_id: int) -> None:
+        res = apply_batch(spark, table_root, df, batch_id, config=config)
+        results.append(res)
+        if on_batch is not None:
+            on_batch(res)
+        if fail_after_batch is not None and batch_id >= fail_after_batch:
+            raise _InjectedCrash(f"injected crash after commit of batch {batch_id}")
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc-replay")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    except Exception as exc:  # injected crash surfaces as StreamingQueryException
+        if fail_after_batch is None or "injected crash" not in str(exc):
+            raise
+    return results
+
+
+def replay_batch(
+    spark: SparkSession,
+    binlog_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    event_schema: T.StructType | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """One-shot batch replay WITHOUT the table layer: the minimum end-to-end
+    slice (SURVEY.md §7 M1). Reads every segment, normalizes, LWW-reduces,
+    drops deleted keys, returns the converged transcript state ordered by
+    (conv_id, turn_idx). Equivalent SQL (DuckDB oracle): arg_max / row_number
+    over (ts, event_seq) per key."""
+    from pyspark.sql import functions as F
+
+    from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
+    from sfr_ingest_pipeline_spark.operators.lww import lww_reduce
+
+    reader = spark.read
+    if event_schema is not None:
+        reader = reader.schema(event_schema)
+    events = reader.option("mergeSchema", "true").parquet(binlog_dir)
+    if normalize:
+        events = events.withColumn("text", normalize_text_udf("text"))
+    winners = lww_reduce(
+        events, list(config.key_cols), list(config.order_cols), n_salt=config.n_salt
+    )
+    out = winners.filter(F.col("op") != "D").drop("op")
+    return out.orderBy(*config.key_cols)

@@ -1,0 +1,136 @@
+"""MERGE operator golden tests (SURVEY.md §7 M3): multi-batch replays with
+deletes, cross-batch late updates, conflicts, idempotent re-apply."""
+
+import pandas as pd
+import pytest
+
+from sfr_ingest_pipeline_spark.oracle import LOGICAL_COLS, simulate_replay
+from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+
+def _apply_segments(spark, tmp_path, segments, cfg, name="t"):
+    root = str(tmp_path / name)
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+    results = []
+    for i, seg in enumerate(segments):
+        df = spark.createDataFrame(seg)
+        results.append(apply_batch(spark, root, df, i, config=cfg))
+    return root, results
+
+
+def _table_pandas(spark, root):
+    return (
+        TranscriptTable.load(root)
+        .scan(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_multibatch_matches_oracle(spark, tmp_path, segments_basic, small_cfg):
+    root, results = _apply_segments(spark, tmp_path, segments_basic, small_cfg)
+    sim = simulate_replay(segments_basic)
+    got = _table_pandas(spark, root)
+    pd.testing.assert_frame_equal(
+        got[LOGICAL_COLS], sim.table[LOGICAL_COLS], check_dtype=False
+    )
+    eng = [
+        (r.batch_id, r.dedup_dropped, r.events_applied, r.merge_conflicts)
+        for r in results
+    ]
+    orc = [
+        (c.batch_id, c.dedup_dropped, c.events_applied, c.merge_conflicts)
+        for c in sim.counters
+    ]
+    assert eng == orc
+
+
+def test_idempotent_reapply(spark, tmp_path, segments_basic, small_cfg):
+    root, _ = _apply_segments(spark, tmp_path, segments_basic, small_cfg, "t2")
+    before = _table_pandas(spark, root)
+    sid_before = TranscriptTable.load(root).snapshot.snapshot_id
+    # re-deliver an old batch id -> must be skipped, no new snapshot
+    df = spark.createDataFrame(segments_basic[0])
+    res = apply_batch(spark, root, df, 0, config=small_cfg)
+    assert res.skipped and not res.committed
+    assert TranscriptTable.load(root).snapshot.snapshot_id == sid_before
+    pd.testing.assert_frame_equal(before, _table_pandas(spark, root))
+
+
+def test_delete_tombstone_blocks_late_event(spark, tmp_path, small_cfg):
+    """Late older event must not resurrect a deleted turn."""
+    b0 = pd.DataFrame(
+        [
+            {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "v1", "tool": None, "ts": pd.Timestamp("2024-01-01 00:00:01"),
+             "event_seq": 1},
+            {"op": "D", "conv_id": "c1", "turn_idx": 0, "role": None,
+             "text": None, "tool": None, "ts": pd.Timestamp("2024-01-01 00:00:03"),
+             "event_seq": 3},
+        ]
+    )
+    b1 = pd.DataFrame(
+        [
+            {"op": "U", "conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "late v2", "tool": None,
+             "ts": pd.Timestamp("2024-01-01 00:00:02"), "event_seq": 2},
+        ]
+    )
+    root, results = _apply_segments(spark, tmp_path, [b0, b1], small_cfg, "t3")
+    got = _table_pandas(spark, root)
+    assert len(got) == 0
+    assert results[1].merge_conflicts == 1
+    assert results[1].events_applied == 0
+
+
+def test_delete_then_reinsert(spark, tmp_path, small_cfg):
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user", "text": "a",
+         "tool": None, "ts": ts, "event_seq": 1},
+        {"op": "D", "conv_id": "c1", "turn_idx": 0, "role": None, "text": None,
+         "tool": None, "ts": ts + pd.Timedelta(seconds=1), "event_seq": 2},
+        {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user", "text": "b",
+         "tool": None, "ts": ts + pd.Timedelta(seconds=2), "event_seq": 3},
+    ]
+    batches = [pd.DataFrame([r]) for r in rows]
+    root, _ = _apply_segments(spark, tmp_path, batches, small_cfg, "t4")
+    got = _table_pandas(spark, root)
+    assert list(got["text"]) == ["b"]
+
+
+def test_lineage_recorded(spark, tmp_path, segments_basic, small_cfg):
+    root, _ = _apply_segments(spark, tmp_path, segments_basic[:2], small_cfg, "t5")
+    snap = TranscriptTable.load(root).snapshot
+    lineage = snap.properties["lineage"]
+    assert lineage, "lineage must not be empty"
+    for _bucket, info in lineage.items():
+        assert set(info) == {"rows_before", "rows_after", "files"}
+        assert info["files"], "each touched bucket lists its rewritten files"
+    # manifest row counts agree with lineage
+    per_bucket = {}
+    for f in snap.files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
+    for bucket, info in lineage.items():
+        assert per_bucket[int(bucket)] == info["rows_after"]
+
+
+def test_counters_conserve(spark, tmp_path, segments_basic, small_cfg):
+    _, results = _apply_segments(spark, tmp_path, segments_basic, small_cfg, "t6")
+    for r in results:
+        assert r.rows_in == r.dedup_dropped + r.events_applied + r.merge_conflicts
+
+
+@pytest.mark.parametrize("n_salt", [1, 8])
+def test_salt_invariant(spark, tmp_path, segments_basic, small_cfg, n_salt):
+    from dataclasses import replace
+
+    cfg = replace(small_cfg, n_salt=n_salt)
+    root, _ = _apply_segments(spark, tmp_path, segments_basic[:3], cfg, f"t7_{n_salt}")
+    got = _table_pandas(spark, root)
+    sim = simulate_replay(segments_basic[:3])
+    pd.testing.assert_frame_equal(
+        got[LOGICAL_COLS], sim.table[LOGICAL_COLS], check_dtype=False
+    )

@@ -1,0 +1,104 @@
+import glob
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from sfr_ingest_pipeline_spark.schema import TRANSCRIPT_SCHEMA, widen_schema
+from sfr_ingest_pipeline_spark.table.transcript_table import (
+    DataFileInfo,
+    TranscriptTable,
+    physical_schema,
+)
+
+
+def test_create_load_roundtrip(tmp_path):
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root, n_buckets=4)
+    t2 = TranscriptTable.load(root)
+    assert t2.snapshot.snapshot_id == 1
+    assert t2.n_buckets == 4
+    assert t2.schema == TRANSCRIPT_SCHEMA
+    assert t2.last_batch_id is None
+
+
+def test_commit_is_atomic_no_tmp_garbage(tmp_path):
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root)
+    t2 = t.commit(set(), [], {"batch_id": 0})
+    assert t2.snapshot.snapshot_id == 2
+    assert t2.last_batch_id == 0
+    # no .tmp files linger after commit
+    assert not glob.glob(os.path.join(root, "metadata", "*.tmp-*"))
+    # version hint is the commit point
+    assert TranscriptTable.load(root).snapshot.snapshot_id == 2
+
+
+def test_orphan_snapshot_not_visible(tmp_path):
+    """Crash between snapshot-file write and hint rename: loader ignores it."""
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root)
+    # simulate crash: write v2 snapshot file but never move the hint
+    snap = t.snapshot
+    payload = snap.to_json()
+    payload["snapshot_id"] = 2
+    import json
+
+    with open(TranscriptTable._snap_path(root, 2), "w") as f:
+        json.dump(payload, f)
+    assert TranscriptTable.load(root).snapshot.snapshot_id == 1
+    # next commit overwrites the orphan
+    t2 = t.commit(set(), [], {"batch_id": 0})
+    assert t2.snapshot.snapshot_id == 2
+    assert TranscriptTable.load(root).last_batch_id == 0
+
+
+def test_copy_on_write_carries_untouched_files(tmp_path):
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root, n_buckets=4)
+    f0 = DataFileInfo(path="data/a.parquet", bucket=0, rows=10, live_rows=10)
+    f1 = DataFileInfo(path="data/b.parquet", bucket=1, rows=20, live_rows=20)
+    t = t.commit({0, 1}, [f0, f1], {"batch_id": 0})
+    f0b = DataFileInfo(path="data/a2.parquet", bucket=0, rows=15, live_rows=15)
+    t = t.commit({0}, [f0b], {"batch_id": 1})
+    paths = {f.path for f in t.snapshot.files}
+    assert paths == {"data/a2.parquet", "data/b.parquet"}
+
+
+def test_time_travel_by_batch(tmp_path):
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root)
+    t = t.commit(set(), [], {"batch_id": 0})
+    t = t.commit(set(), [], {"batch_id": 1})
+    t = t.commit(set(), [], {"batch_id": 2})
+    past = t.load_snapshot_as_of_batch(1)
+    assert past.last_batch_id == 1
+    # -1 predates every batch: resolves to the initial (empty) snapshot
+    empty = t.load_snapshot_as_of_batch(-1)
+    assert empty.last_batch_id is None
+
+
+def test_scan_empty_table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root)
+    df = t.scan(spark)
+    assert df.count() == 0
+    assert df.columns == [f.name for f in TRANSCRIPT_SCHEMA.fields]
+
+
+def test_widen_schema():
+    wide = widen_schema(
+        TRANSCRIPT_SCHEMA,
+        T.StructType([T.StructField("tool_meta", T.StringType(), True)]),
+    )
+    assert wide.fieldNames()[-1] == "tool_meta"
+    with pytest.raises(ValueError):
+        widen_schema(
+            TRANSCRIPT_SCHEMA,
+            T.StructType([T.StructField("text", T.IntegerType(), True)]),
+        )
+
+
+def test_physical_schema_appends_meta():
+    phys = physical_schema(TRANSCRIPT_SCHEMA)
+    assert phys.fieldNames()[-2:] == ["event_seq", "_deleted"]
