@@ -1,0 +1,129 @@
+"""Deduplication operators: exact, MinHash/LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB training-data case: every operator is a DataFrame
+composition whose heavy lifting (hashing, grouping, self-join on buckets)
+stays JVM-side; nothing collects to the driver.
+
+  * exact:   sha256(text) group -> canonical id per group (one shuffle).
+  * minhash: k-char shingles -> per-band signature = min(md5(band||shingle))
+             computed with array transforms (NO explode — per-row arrays),
+             then group/join on band signatures (LSH banding). md5 is used
+             as the hash family because it is identical in Spark and DuckDB,
+             making the oracle exact.
+  * simhash: 32-bit simhash over token hashes via bit-vote aggregation.
+  * jaccard: n-gram set overlap for candidate pairs (verification stage
+             after LSH banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sha_key(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id + copy count."""
+    return (
+        df.select(sha_key(text_col).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Array of k-char shingles (at least one, even for short text).
+
+    Uses SQL transform/sequence so the same expression exists in DuckDB
+    (list_transform/range)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k))
+    )
+
+
+def minhash_signature(col: Column | str, band: str, k: int = 5) -> Column:
+    """One MinHash band: min over shingles of md5(band || shingle).
+
+    A lexicographic min over a uniform hash of the shingle set — the standard
+    single-permutation MinHash estimator with md5 as the permutation."""
+    sh = shingles(col, k)
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(band), s)))
+    )
+
+
+def minhash_bands(
+    df: DataFrame, text_col: str, n_bands: int = 4, k: int = 5
+) -> DataFrame:
+    """Append band signature columns sig_0..sig_{n-1}."""
+    out = df
+    for b in range(n_bands):
+        out = out.withColumn(f"sig_{b}", minhash_signature(text_col, f"b{b}|", k))
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, k: int = 5
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing ANY band signature.
+
+    Scale path: group per band (shuffle on signature — uniformly distributed
+    by construction), emit pairs only inside buckets; dedupe pairs across
+    bands. Never a cross join."""
+    sigs = minhash_bands(df.select(id_col, text_col), text_col, n_bands, k)
+    pairs = None
+    for b in range(n_bands):
+        left = sigs.select(F.col(id_col).alias("id_a"), F.col(f"sig_{b}").alias("sig"))
+        right = sigs.select(F.col(id_col).alias("id_b"), F.col(f"sig_{b}").alias("sig"))
+        p = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
+    """Jaccard similarity of the k-shingle sets of two text columns."""
+    sa = F.array_distinct(shingles(a, k))
+    sb = F.array_distinct(shingles(b, k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens, fully JVM-side.
+
+    Each token votes its xxhash64 bits; the signature bit is 1 where the
+    weighted vote is positive. Bit votes are computed with array transforms
+    + aggregate (no explode, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # sum over tokens of (+1 if bit i set else -1)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(32):
+        sig = sig + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

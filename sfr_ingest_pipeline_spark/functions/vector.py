@@ -1,0 +1,140 @@
+"""Vector/similarity-search operators over embedding columns (array<float>).
+
+Brute-force exact cosine top-k as the correctness baseline, and an
+LSH-bucketed (random-hyperplane / SRP) approximate variant as the scale
+path. Dot products run JVM-side via F.aggregate/zip_with over arrays cast to
+double (element-order-sequential fold — bit-identical to DuckDB's list_sum
+over list_transform, which the oracle uses).
+
+At 100 TB: brute-force is a broadcast of the (small) query set against the
+corpus — O(Q*N) but embarrassingly parallel, no shuffle of the corpus; the
+SRP variant shuffles once on bucket id, then joins only within buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Cross join with the QUERY side broadcast (queries << corpus at scale);
+    rank per query by (cosine desc, neighbor id) for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure python, seeded)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Signed-random-projection LSH bucket id (0..2^n_planes-1)."""
+    planes = _srp_planes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    Recall < 1 by construction; pytest asserts recall against brute force.
+    Scale path: one shuffle on bucket id instead of Q×N scoring."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_pandas(a, b) -> float:
+    """Scalar python mirror for tests."""
+    num = sum(x * y for x, y in zip(a, b))
+    da = math.sqrt(sum(x * x for x in a))
+    db = math.sqrt(sum(y * y for y in b))
+    return num / (da * db)

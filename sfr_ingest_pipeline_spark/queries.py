@@ -1,0 +1,600 @@
+"""Driver-verifiable query surface (SURVEY.md §2 inventory -> queries()).
+
+Every entry here has BOTH a Spark DataFrame implementation and (where
+SQL-expressible) a matching DuckDB oracle in ORACLE_SQL — identical column
+names/aliases, floats rounded on both sides for stable value-hash compare
+(__spark_entry__.py contract).
+
+Coverage map (SURVEY.md §2 refs in parens):
+  CDC core:     lww_latest_event_per_user (A3/J6), dedup_dropped_per_user
+                (W1), op_routing_counts (P4), session_count_30m (T4),
+                hourly_event_stats (T3), max_gap_us (W3)
+  Joins/aggs:   pricing_summary (A2), top_revenue_orders (J1+O3),
+                region_revenue (J4 broadcast dims), top10_customers (O3),
+                order_priority_rollup (A5), customers_without_orders (J2
+                anti), active_customers_by_nation (J2 semi),
+                open_minus_finished_custkeys (U2)
+  Scalar fns:   json_props_stats (F5), monthly_order_volume (F2),
+                normalized_documents (F1 pandas UDF), brand_identifier_clean
+                (F4), binary_meta (multimodal plumbing)
+  Training-data ops: exact_dedup_docs, token_stats_by_lang, quality_scores,
+                lang_id_pred, doc_fingerprints, minhash_signatures,
+                embedding_norms, cosine_topk (brute force), srp_ann_topk
+                (approximate — rows-only check), simhash_docs (rows-only:
+                xxhash64 has no DuckDB twin)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfr_ingest_pipeline_spark.functions import dedup as D
+from sfr_ingest_pipeline_spark.functions import text as TX
+from sfr_ingest_pipeline_spark.functions import vector as V
+from sfr_ingest_pipeline_spark.functions.multimodal import (
+    extract_media_meta,
+    with_binary_payload,
+)
+from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
+from sfr_ingest_pipeline_spark.operators.lww import lww_reduce
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC core on the events stream table
+# --------------------------------------------------------------------------
+
+def q_lww_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    latest = lww_reduce(ev, key_cols=["user_id"], order_cols=["ts", "event_id"],
+                        n_salt=8)
+    return latest.select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 2).alias("value"), "ts",
+    )
+
+
+def q_dedup_dropped_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("dedup_dropped"),
+    )
+
+
+def q_op_routing_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_session_count_30m(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+def q_hourly_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return win.select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+
+
+def q_max_gap_us(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # session TZ is UTC, so the NTZ->LTZ cast for unix_micros is the identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.withColumn(
+        "gap_us", us - F.lag(us).over(w)
+    )
+    return gaps.groupBy("user_id").agg(F.max("gap_us").alias("max_gap_us"))
+
+
+# --------------------------------------------------------------------------
+# Relational breadth on the TPC-H-ish star
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_top10_customers_by_spend(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def q_order_priority_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_active_customers_by_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return active.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_active_customers")
+    )
+
+
+def q_open_minus_finished_custkeys(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_keys.exceptAll(fin_keys)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: json / dates / strings / binary
+# --------------------------------------------------------------------------
+
+def q_json_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.min(k).alias("min_k"),
+    )
+
+
+def q_monthly_order_volume(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )
+
+
+def q_normalized_documents(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalize_text_udf("text").alias("norm_text")
+    )
+
+
+def q_brand_identifier_clean(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    clean = F.regexp_replace(F.lower("p_brand"), r"[^a-z0-9]+", "")
+    return part.groupBy(clean.alias("brand_id")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+def q_binary_meta(spark, sf_dir):
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    meta = extract_media_meta(docs, id_col="doc_id", binary_col="payload")
+    return meta.select("doc_id", "n_bytes", "kind")
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup / text quality / fingerprints / vectors
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "text", "doc_id")
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", TX.token_count("text").alias("n_tok"))
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 4).alias("quality")
+    )
+
+
+def q_lang_id_pred(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_bands(docs.select("doc_id", "text"), "text", n_bands=4).drop(
+        "text"
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(V.l2_norm(F.col("embedding")), 4).alias("l2_norm")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = V.brute_force_topk(emb, queries, k=3)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_srp_ann_topk(spark, sf_dir):
+    """Approximate ANN (SRP-LSH buckets) — rows-only driver check; recall
+    vs brute force is asserted in tests/test_vector.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = V.srp_topk(emb, queries, dim=64, k=3, n_planes=4)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+def q_simhash_docs(spark, sf_dir):
+    """SimHash signatures — rows-only driver check (xxhash64 has no DuckDB
+    twin); semantics pinned by tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lww_latest_event_per_user": q_lww_latest_event_per_user,
+    "dedup_dropped_per_user": q_dedup_dropped_per_user,
+    "op_routing_counts": q_op_routing_counts,
+    "session_count_30m": q_session_count_30m,
+    "hourly_event_stats": q_hourly_event_stats,
+    "max_gap_us": q_max_gap_us,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "top10_customers_by_spend": q_top10_customers_by_spend,
+    "order_priority_rollup": q_order_priority_rollup,
+    "customers_without_orders": q_customers_without_orders,
+    "active_customers_by_nation": q_active_customers_by_nation,
+    "open_minus_finished_custkeys": q_open_minus_finished_custkeys,
+    "json_props_stats": q_json_props_stats,
+    "monthly_order_volume": q_monthly_order_volume,
+    "normalized_documents": q_normalized_documents,
+    "brand_identifier_clean": q_brand_identifier_clean,
+    "binary_meta": q_binary_meta,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "quality_scores": q_quality_scores,
+    "lang_id_pred": q_lang_id_pred,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_signatures": q_minhash_signatures,
+    "embedding_norms": q_embedding_norms,
+    "cosine_topk": q_cosine_topk,
+    "srp_ann_topk": q_srp_ann_topk,
+    "simhash_docs": q_simhash_docs,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL — identical aliases; floats rounded the same way.
+# --------------------------------------------------------------------------
+
+_MARKER_COUNT = "len(regexp_extract_all(lower(text), '{re}'))"
+_LANG_RES = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|y)\b",
+}
+_STOP_RE = r"\b(the|a|an|of|and|or|to|in|is)\b"
+
+_NORMALIZE_SQL = (
+    "trim(regexp_replace(regexp_replace(replace(replace(nfc_normalize(text), "
+    "chr(13) || chr(10), chr(10)), chr(13), chr(10)), "
+    r"'[\x00-\x08\x0b-\x1f\x7f-\x9f]', '', 'g'), "
+    r"'[ \t]+', ' ', 'g'), ' ' || chr(10) || chr(9))"
+)
+
+_MINHASH_SIG = (
+    "list_min(list_transform(range(1, greatest(length(text) - 4, 1) + 1), "
+    "i -> md5('b{b}|' || substr(text, i, 5))))"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "lww_latest_event_per_user": """
+        SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "dedup_dropped_per_user": """
+        SELECT user_id, count(*) AS rows_in, count(*) - 1 AS dedup_dropped
+        FROM events GROUP BY user_id
+    """,
+    "op_routing_counts": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "session_count_30m": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        >= INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id, sum(new_session) AS n_sessions
+        FROM flagged GROUP BY user_id
+    """,
+    "hourly_event_stats": """
+        SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "max_gap_us": """
+        SELECT user_id, max(gap_us) AS max_gap_us FROM (
+            SELECT user_id, epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        ) GROUP BY user_id
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "top10_customers_by_spend": """
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY total_spend DESC, o_custkey ASC LIMIT 10
+    """,
+    "order_priority_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "active_customers_by_nation": """
+        SELECT c_nationkey, count(*) AS n_active_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+    "open_minus_finished_custkeys": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "json_props_stats": """
+        SELECT event_type,
+               round(avg(CAST(props ->> '$.k' AS INT)), 4) AS avg_k,
+               max(CAST(props ->> '$.k' AS INT)) AS max_k,
+               min(CAST(props ->> '$.k' AS INT)) AS min_k
+        FROM events GROUP BY event_type
+    """,
+    "monthly_order_volume": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_totalprice
+        FROM orders GROUP BY 1
+    """,
+    "normalized_documents": f"""
+        SELECT doc_id, {_NORMALIZE_SQL} AS norm_text FROM documents
+    """,
+    "brand_identifier_clean": """
+        SELECT regexp_replace(lower(p_brand), '[^a-z0-9]+', '', 'g') AS brand_id,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part GROUP BY 1
+    """,
+    "binary_meta": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               'blob' AS kind
+        FROM documents
+    """,
+    "exact_dedup_docs": """
+        SELECT sha256(text) AS text_sha, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "token_stats_by_lang": r"""
+        SELECT lang, count(*) AS n_docs,
+               sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
+               round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "quality_scores": f"""
+        SELECT doc_id, round(
+            ln(1.0 + n_tok) * 0.5 + (stop / greatest(n_tok, 1.0)) * 2.0
+            - (punct / greatest(n_tok, 1.0)), 4) AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+                   CAST(len(regexp_extract_all(text, '{_STOP_RE}')) AS DOUBLE) AS stop,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct
+            FROM documents
+        )
+    """,
+    "lang_id_pred": f"""
+        SELECT doc_id,
+            CASE WHEN best = 0 THEN 'und'
+                 WHEN en = best THEN 'en'
+                 WHEN de = best THEN 'de'
+                 WHEN fr = best THEN 'fr'
+                 WHEN es = best THEN 'es'
+                 ELSE 'und' END AS lang_pred
+        FROM (
+            SELECT doc_id, en, de, fr, es, greatest(en, de, fr, es) AS best
+            FROM (
+                SELECT doc_id,
+                    {_MARKER_COUNT.format(re=_LANG_RES['en'])} AS en,
+                    {_MARKER_COUNT.format(re=_LANG_RES['de'])} AS de,
+                    {_MARKER_COUNT.format(re=_LANG_RES['fr'])} AS fr,
+                    {_MARKER_COUNT.format(re=_LANG_RES['es'])} AS es
+                FROM documents
+            )
+        )
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+        FROM documents
+    """,
+    "minhash_signatures": f"""
+        SELECT doc_id,
+               {_MINHASH_SIG.format(b=0)} AS sig_0,
+               {_MINHASH_SIG.format(b=1)} AS sig_1,
+               {_MINHASH_SIG.format(b=2)} AS sig_2,
+               {_MINHASH_SIG.format(b=3)} AS sig_3
+        FROM documents
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        FROM embeddings
+    """,
+    "cosine_topk": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[]))))
+                   AS cos_raw
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
+}

@@ -1,0 +1,76 @@
+from pyspark.sql import functions as F
+
+from sfr_ingest_pipeline_spark.functions import dedup as D
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),         # near dup of 1
+        (4, "completely different text about spark query engines"),
+        (5, "entirely unrelated content mentioning database systems"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    groups = D.exact_dedup_groups(_docs(spark), "text", "doc_id").collect()
+    by_canonical = {r["canonical_id"]: r["n_copies"] for r in groups}
+    assert by_canonical[1] == 2        # docs 1+2 collapse
+    assert by_canonical[3] == 1
+    assert len(groups) == 4
+
+
+def test_minhash_bands_near_dups_collide(spark):
+    sigs = D.minhash_bands(_docs(spark), "text", n_bands=4).collect()
+    by_id = {r["doc_id"]: [r[f"sig_{b}"] for b in range(4)] for r in sigs}
+    # exact duplicates: identical signatures in every band
+    assert by_id[1] == by_id[2]
+    # near-duplicates share at least one band signature
+    shared = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert shared >= 1
+    # unrelated docs share no band
+    assert all(a != b for a, b in zip(by_id[1], by_id[4]))
+
+
+def test_lsh_candidate_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(_docs(spark), "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = _docs(spark).alias("a").crossJoin(_docs(spark).alias("b")).filter(
+        (F.col("a.doc_id") == 1) & (F.col("b.doc_id").isin(2, 3, 4))
+    )
+    out = {
+        r["doc_id"]: r["j"]
+        for r in df.select(
+            F.col("b.doc_id"),
+            D.ngram_jaccard(F.col("a.text"), F.col("b.text")).alias("j"),
+        ).collect()
+    }
+    assert out[2] == 1.0
+    assert 0.5 < out[3] < 1.0
+    assert out[4] < 0.1
+
+
+def test_simhash_properties(spark):
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in _docs(spark).select(
+            "doc_id", D.simhash32("text").alias("s")
+        ).collect()
+    }
+    df = spark.createDataFrame(
+        [(sigs[1], sigs[2]), (sigs[1], sigs[3]), (sigs[1], sigs[4])], ["a", "b"]
+    )
+    h = [r["h"] for r in df.select(D.hamming32(F.col("a"), F.col("b")).alias("h")).collect()]
+    assert h[0] == 0                   # identical docs -> identical simhash
+    assert h[1] < h[2]                 # near-dup closer than unrelated
+    assert all(0 <= x <= 32 for x in h)
