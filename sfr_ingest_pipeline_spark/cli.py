@@ -76,6 +76,8 @@ def cmd_replay(args) -> int:
         n_buckets=args.buckets,
         n_salt=args.salt,
         shuffle_partitions=args.shuffle_partitions or 32,
+        merge_mode=args.merge_mode,
+        compact_delta_files=args.compact_delta_files,
     )
     schema = CHANGE_EVENT_SCHEMA_V2 if args.v2_schema else CHANGE_EVENT_SCHEMA
     t0 = time.time()
@@ -165,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--buckets", type=int, default=16)
     r.add_argument("--salt", type=int, default=8)
+    r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    r.add_argument("--compact-delta-files", type=int, default=8)
     r.add_argument("--max-files-per-trigger", type=int, default=None)
     r.add_argument("--v2-schema", action="store_true")
     _add_spark_args(r)

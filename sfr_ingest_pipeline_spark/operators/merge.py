@@ -13,25 +13,45 @@ DataFrame algebra inside ``foreachBatch``:
                                                         for op='D' so late
                                                         older events lose)
 
-Plan shape (scale notes inline):
-  1. normalize text (Arrow pandas UDF — the only Python in the plan);
-  2. salted two-phase LWW reduce (operators/lww.py) -> per-key winners;
-  3. prune: winners' distinct buckets -> read ONLY those target files
-     (manifest-driven file pruning; untouched buckets never scanned);
-  4. full-outer equi-join winners vs pruned target on the key — Catalyst/AQE
-     picks broadcast vs sort-merge; microbatch winners are usually the small
-     side;
-  5. column-wise when/otherwise resolution + counters via ``Observation``
-     (zero extra passes — metrics ride the write job);
-  6. rewrite touched buckets (partitionBy + write-salt against hot-bucket
-     write skew), harvest footers, atomic snapshot commit embedding the
-     batch-id marker -> exactly-once under foreachBatch replays
-     (SURVEY.md §4.4).
+Physical strategy — *fused* LWW + MERGE (one wide shuffle, not four):
 
-Reference parity: this composes the reference's identifier lookup join,
-insert/update routing and field-merge loop (lambdas/sfr-db-manager/lib/
-dbManager.py + lambdas/sfr-db-updater/lib/dbUpdater.py + core/model/work.py
-in NYPL/sfr-ingest-pipeline, reconstructed — SURVEY.md §2.3 J1/J2, §3.1 E1/E2)
+  batch events (src='s')  UNION ALL  pruned target rows (src='t')
+      -> groupBy(conv_id, turn_idx).agg(
+             max_by(payload, (ts, event_seq, src_rank)),   # LWW winner;
+             sum(src='s'), max(src='t'))                   # counter inputs
+      -> winner rows + counters via Observation (zero extra passes)
+      -> normalize text (Arrow pandas UDF; idempotent, so re-normalizing
+         carried-forward target rows is a no-op by construction)
+      -> repartition by bucket -> rewrite touched buckets -> atomic commit
+
+Why this shape at 100 TB:
+  * within-batch duplicate storms (hot keys) collapse in the MAP-SIDE partial
+    aggregate before the shuffle — the classic combiner; an optional salted
+    pre-phase (config.n_salt) adds a (key, salt) reduce for pathological
+    single-key floods (BASELINE.json:6 "salted repartitioning");
+  * no join: the union + max_by is equivalent to the full-outer merge join
+    but needs ONE clustering of the data instead of two sorted sides;
+    src_rank makes target rows win (ts, event_seq) ties so cross-batch
+    re-deliveries count as conflicts, never double-apply;
+  * the pandas UDF sees only O(keys) winner rows, not O(events) raw rows;
+  * file pruning: only buckets named by the batch's conv_ids are read and
+    rewritten; untouched files are carried forward by manifest reference;
+  * two write modes (config.merge_mode): "cow" rewrites every touched bucket
+    (simple reads), "mor" appends ONLY the batch winners as per-bucket delta
+    files — O(batch) writes — and compacts a bucket back to base form after
+    compact_delta_files deltas; readers LWW-reduce base+deltas. The fused
+    aggregation is mode-agnostic: multi-version target rows entering the
+    union resolve to current state by the same max_by.
+
+Counter contract matches oracle.simulate_replay exactly:
+  dedup_dropped   = sum over keys of (n_source_rows - 1)
+  events_applied  = keys whose winner came from the batch
+  merge_conflicts = keys with batch rows whose winner stayed the target row
+
+Reference parity: composes the reference's identifier lookup, insert/update
+routing and field-merge loop (lambdas/sfr-db-manager/lib/dbManager.py,
+lambdas/sfr-db-updater/lib/dbUpdater.py, core/model/work.py in
+NYPL/sfr-ingest-pipeline, reconstructed — SURVEY.md §2.3 J1/J2, §3.1 E1/E2)
 into one declarative Spark plan.
 """
 
@@ -47,7 +67,6 @@ from pyspark.sql import types as T
 
 from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
 from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
-from sfr_ingest_pipeline_spark.operators.lww import lww_reduce
 from sfr_ingest_pipeline_spark.schema import widen_schema
 from sfr_ingest_pipeline_spark.table.transcript_table import (
     TranscriptTable,
@@ -99,6 +118,30 @@ def _null_fill(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols, *extra)
 
 
+def _merge_agg(df: DataFrame, key_cols: list[str], carry_cols: list[str],
+               order_cols: list[str]) -> DataFrame:
+    """One LWW+merge aggregation level. ``carry_cols`` are the payload+meta
+    columns riding inside the winner struct; ``_n_s`` (batch-row count) and
+    ``_has_t`` fold additively so the salted pre-phase composes."""
+    order = F.struct(*[F.col(c) for c in order_cols], F.col("_src_rank"))
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in carry_cols], F.col("_src_rank")), order
+    ).alias("_w")
+    group = df.groupBy(*key_cols).agg(
+        winner,
+        F.sum("_n_s").alias("_n_s"),
+        F.max("_has_t").alias("_has_t"),
+    )
+    out = group.select(
+        *key_cols,
+        *[F.col(f"_w.{c}").alias(c) for c in carry_cols],
+        F.col("_w._src_rank").alias("_src_rank"),
+        "_n_s",
+        "_has_t",
+    )
+    return out
+
+
 def apply_batch(
     spark: SparkSession,
     table_root: str,
@@ -126,138 +169,141 @@ def apply_batch(
         [f for f in batch_df.schema.fields if f.name not in _EVENT_META]
     )
     logical = widen_schema(table.schema, incoming_logical, coerce_existing=True)
-    payload_cols = [f.name for f in logical.fields if f.name not in key_cols]
+    phys = physical_schema(logical)
+    phys_cols = [f.name for f in phys.fields]
+    carry_cols = [c for c in phys_cols if c not in key_cols]
     schema_changed = logical.jsonValue() != table.schema.jsonValue()
 
-    # ---- normalize + LWW winners ------------------------------------------
-    batch = _null_fill(batch_df, logical)
-    if normalize and "text" in batch.columns:
-        batch = batch.withColumn("text", normalize_text_udf("text"))
-
-    obs_in = Observation(f"rows_in_{batch_id}")
-    batch = batch.observe(obs_in, F.count(F.lit(1)).alias("n"))
-
-    winners = lww_reduce(batch, key_cols, order_cols, n_salt=config.n_salt)
-    obs_w = Observation(f"winners_{batch_id}")
-    winners = winners.observe(obs_w, F.count(F.lit(1)).alias("n"))
-    winners = winners.withColumn(
-        "_bucket", bucket_expr(F.col("conv_id"), table.n_buckets)
+    # ---- source side: physical shape + src markers ------------------------
+    src = _null_fill(batch_df, logical)
+    src = src.withColumn("_deleted", F.col("op") == F.lit("D"))
+    src = src.select(*phys_cols).withColumns(
+        {"_src_rank": F.lit(0), "_n_s": F.lit(1).cast("long"),
+         "_has_t": F.lit(False)}
     )
-    winners = winners.persist()
-    try:
-        touched = sorted(
-            r["_bucket"] for r in winners.select("_bucket").distinct().collect()
-        )
-        rows_in = int(obs_in.get["n"])
-        n_winners = int(obs_w.get["n"])
-        dedup_dropped = rows_in - n_winners
 
-        if not touched:
-            # empty batch: still commit the batch-id marker for idempotency
-            new_table = table.commit(
-                set(), [], _props(batch_id, rows_in, 0, 0, 0, {}, table),
-                schema=logical if schema_changed else None,
-            )
-            return MergeResult(
-                batch_id, committed=True, rows_in=rows_in,
-                snapshot_id=new_table.snapshot.snapshot_id,
-                elapsed_sec=time.time() - t0,
-            )
+    # ---- touched buckets (manifest pruning) --------------------------------
+    obs_in = Observation(f"rows_in_{batch_id}_{uuid.uuid4().hex[:6]}")
+    bucketed = batch_df.select(
+        bucket_expr(F.col("conv_id"), table.n_buckets).alias("_bucket")
+    ).observe(obs_in, F.count(F.lit(1)).alias("n"))
+    touched = sorted(r["_bucket"] for r in bucketed.distinct().collect())
+    rows_in = int(obs_in.get["n"])
 
-        # ---- target scan pruned to touched buckets ------------------------
-        target = table.scan(spark, with_meta=True, buckets=set(touched))
-        target = _null_fill(target, physical_schema(logical))
-
-        # ---- full-outer merge join ----------------------------------------
-        s = winners.alias("s").withColumn("_s", F.lit(True))
-        t = target.alias("t").withColumn("_t", F.lit(True))
-        cond = [s[k].eqNullSafe(t[k]) for k in key_cols]
-        j = s.join(t, cond, "full_outer")
-
-        s_lww = F.struct(*[s[c] for c in order_cols])
-        t_lww = F.struct(*[t[c] for c in order_cols])
-        s_won = s["_s"].isNotNull() & (t["_t"].isNull() | (s_lww > t_lww))
-        action = (
-            F.when(s["_s"].isNull(), F.lit("keep"))
-            .when(s_won & (s["op"] == "D"), F.lit("delete"))
-            .when(s_won, F.lit("upsert"))
-            .otherwise(F.lit("stale"))
-        )
-
-        out_cols = [
-            F.coalesce(s[k], t[k]).alias(k) for k in key_cols
-        ]
-        for c in payload_cols:
-            if c == "ts":
-                expr = (
-                    F.when(action.isin("upsert", "delete"), s[c]).otherwise(t[c])
-                )
-            else:
-                expr = (
-                    F.when(action == "upsert", s[c])
-                    .when(action == "delete", F.lit(None).cast(dict(
-                        (f.name, f.dataType) for f in logical.fields)[c]))
-                    .otherwise(t[c])
-                )
-            out_cols.append(expr.alias(c))
-        out_cols.append(
-            F.when(action.isin("upsert", "delete"), s["event_seq"])
-            .otherwise(t["event_seq"]).alias("event_seq")
-        )
-        out_cols.append(
-            F.when(action == "delete", F.lit(True))
-            .when(action == "upsert", F.lit(False))
-            .otherwise(F.coalesce(t["_deleted"], F.lit(False))).alias("_deleted")
-        )
-
-        resolved = j.select(*out_cols, action.alias("_action"))
-        obs_m = Observation(f"merge_{batch_id}")
-        resolved = resolved.observe(
-            obs_m,
-            F.sum(F.when(F.col("_action").isin("upsert", "delete"), 1).otherwise(0)).alias("applied"),
-            F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("conflicts"),
-        )
-
-        # ---- rewrite touched buckets (CoW) ---------------------------------
-        commit_rel = f"data/snap-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
-        out_dir = f"{table.root}/{commit_rel}"
-        n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, len(touched))))
-        writable = (
-            resolved.drop("_action")
-            .withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
-            .withColumn(
-                "_wsalt",
-                F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_wsalt)),
-            )
-            .repartition(len(touched) * n_wsalt, F.col("_bucket"), F.col("_wsalt"))
-            .sortWithinPartitions(*key_cols)
-            .drop("_wsalt")
-        )
-        writable.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
-
-        applied = int(obs_m.get["applied"] or 0)
-        conflicts = int(obs_m.get["conflicts"] or 0)
-
-        new_files = table.harvest_files(commit_rel)
-        lineage = _lineage(table, set(touched), new_files)
+    if not touched:
+        # empty batch: still commit the batch-id marker for idempotency
         new_table = table.commit(
-            set(touched),
-            new_files,
-            _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage, table),
+            set(), [], _props(batch_id, rows_in, 0, 0, 0, {}),
             schema=logical if schema_changed else None,
         )
         return MergeResult(
             batch_id, committed=True, rows_in=rows_in,
-            dedup_dropped=dedup_dropped, events_applied=applied,
-            merge_conflicts=conflicts, touched_buckets=list(touched),
             snapshot_id=new_table.snapshot.snapshot_id,
             elapsed_sec=time.time() - t0,
         )
-    finally:
-        winners.unpersist()
+
+    # ---- target side: pruned scan, ties go to the table (src_rank=1) ------
+    target = table.scan(spark, with_meta=True, buckets=set(touched))
+    target = _null_fill(target, phys).select(*phys_cols).withColumns(
+        {"_src_rank": F.lit(1), "_n_s": F.lit(0).cast("long"),
+         "_has_t": F.lit(True)}
+    )
+
+    # ---- fused LWW + merge aggregation -------------------------------------
+    unioned = src.unionByName(target)
+    if config.n_salt and config.n_salt > 1:
+        # salted pre-phase for pathological hot keys: reduce on (key, salt)
+        # first so no single reducer materializes a whole hot key
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
+                      F.lit(config.n_salt))
+        pre = _merge_agg(unioned.withColumn("_salt", salt),
+                         [*key_cols, "_salt"], carry_cols, order_cols)
+        unioned = pre.drop("_salt")
+    resolved = _merge_agg(unioned, key_cols, carry_cols, order_cols)
+
+    obs_m = Observation(f"merge_{batch_id}_{uuid.uuid4().hex[:6]}")
+    applied_flag = F.col("_src_rank") == 0
+    conflict_flag = (F.col("_n_s") > 0) & (F.col("_src_rank") == 1)
+    resolved = resolved.observe(
+        obs_m,
+        F.sum(F.when(applied_flag, 1).otherwise(0)).alias("applied"),
+        F.sum(F.when(conflict_flag, 1).otherwise(0)).alias("conflicts"),
+        F.sum(F.greatest(F.col("_n_s") - 1, F.lit(0))).alias("dedup"),
+    )
+
+    out = resolved.withColumn(
+        "_bucket", bucket_expr(F.col("conv_id"), table.n_buckets)
+    )
+
+    # ---- choose write mode per bucket (CoW rewrite vs MoR delta append) ----
+    # cow: every touched bucket fully rewritten (keep + upsert + tombstones).
+    # mor: only batch winners (_src_rank == 0) appended as delta files;
+    #      buckets that have accumulated >= compact_delta_files deltas are
+    #      compacted back to a base file in the same pass. ONE write job
+    #      either way — the kind is per-bucket at harvest time.
+    if config.merge_mode == "mor":
+        delta_counts = table.delta_file_counts(set(touched))
+        compact = {
+            b for b in touched
+            if delta_counts.get(b, 0) >= config.compact_delta_files
+        }
+        keep_filter = F.col("_bucket").isin([int(b) for b in compact]) | (
+            F.col("_src_rank") == 0
+        )
+        out = out.filter(keep_filter)
+        replace_buckets = compact
+    else:
+        compact = set(touched)
+        replace_buckets = set(touched)
+
+    out = out.drop("_src_rank", "_n_s", "_has_t")
+    if normalize and "text" in out.columns:
+        # idempotent -> safe on carried-forward target rows too
+        out = out.withColumn("text", normalize_text_udf("text"))
+
+    commit_rel = f"data/snap-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+    out_dir = f"{table.root}/{commit_rel}"
+    if config.merge_mode == "mor" and not compact:
+        # pure delta append: output is O(batch winners) — one file per bucket
+        n_wsalt = 1
+    else:
+        n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, len(touched))))
+    writable = (
+        out.withColumn(
+            "_wsalt",
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_wsalt)),
+        )
+        .repartition(len(touched) * n_wsalt, F.col("_bucket"), F.col("_wsalt"))
+        .sortWithinPartitions(*key_cols)
+        .drop("_wsalt")
+    )
+    writable.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+
+    applied = int(obs_m.get["applied"] or 0)
+    conflicts = int(obs_m.get["conflicts"] or 0)
+    dedup_dropped = int(obs_m.get["dedup"] or 0)
+
+    new_files = table.harvest_files(
+        commit_rel,
+        kind_for_bucket=lambda b: "base" if b in compact else "delta",
+    )
+    lineage = _lineage(table, set(touched), replace_buckets, new_files)
+    new_table = table.commit(
+        replace_buckets,
+        new_files,
+        _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage),
+        schema=logical if schema_changed else None,
+    )
+    return MergeResult(
+        batch_id, committed=True, rows_in=rows_in,
+        dedup_dropped=dedup_dropped, events_applied=applied,
+        merge_conflicts=conflicts, touched_buckets=list(touched),
+        snapshot_id=new_table.snapshot.snapshot_id,
+        elapsed_sec=time.time() - t0,
+    )
 
 
-def _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage, table):
+def _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage):
     return {
         "batch_id": batch_id,
         "counters": {
@@ -270,20 +316,25 @@ def _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage, table)
     }
 
 
-def _lineage(table: TranscriptTable, touched: set[int], new_files) -> dict:
-    """Per-partition (bucket) lineage: rows before/after + files written."""
+def _lineage(
+    table: TranscriptTable, touched: set[int], replaced: set[int], new_files
+) -> dict:
+    """Per-partition (bucket) lineage: physical rows before/after + files
+    written. For delta appends (bucket not replaced) rows_after counts the
+    carried-forward files plus the new delta rows."""
     before: dict[int, int] = {}
     for f in table.files_in_buckets(touched):
         before[f.bucket] = before.get(f.bucket, 0) + f.rows
-    after: dict[int, int] = {}
+    new_rows: dict[int, int] = {}
     files: dict[int, list[str]] = {}
     for f in new_files:
-        after[f.bucket] = after.get(f.bucket, 0) + f.rows
+        new_rows[f.bucket] = new_rows.get(f.bucket, 0) + f.rows
         files.setdefault(f.bucket, []).append(f.path)
     return {
         str(b): {
             "rows_before": before.get(b, 0),
-            "rows_after": after.get(b, 0),
+            "rows_after": new_rows.get(b, 0)
+            + (0 if b in replaced else before.get(b, 0)),
             "files": files.get(b, []),
         }
         for b in sorted(touched)

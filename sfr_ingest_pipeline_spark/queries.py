@@ -383,7 +383,7 @@ _NORMALIZE_SQL = (
 
 _MINHASH_SIG = (
     "list_min(list_transform(range(1, greatest(length(text) - 4, 1) + 1), "
-    "i -> md5('b{b}|' || substr(text, i, 5))))"
+    "i -> substr(md5(substr(text, i, 5)), 1 + 8 * {b}, 8)))"
 )
 
 ORACLE_SQL: dict[str, str] = {

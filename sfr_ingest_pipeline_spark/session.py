@@ -28,6 +28,18 @@ def get_spark(
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    # ParallelGC: G1 (the JDK17 default) is bimodal and can anti-scale 4x on
+    # allocation-heavy string workloads with many task threads in one local
+    # JVM (measured on this host: 23.2s vs 3.7s for the same regex scan at
+    # local[32]); throughput-oriented ParallelGC is the right collector for
+    # batch/stream executors
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+    )
+    builder = builder.config(
+        "spark.executor.extraJavaOptions", "-XX:+UseParallelGC"
+    )
     builder = builder.config("spark.ui.enabled", "false")
     return builder.getOrCreate()

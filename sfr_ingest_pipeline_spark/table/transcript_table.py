@@ -65,6 +65,10 @@ class DataFileInfo:
     live_rows: int       # rows minus tombstones (best-effort, for lineage)
     conv_id_min: str | None = None
     conv_id_max: str | None = None
+    # "base": full bucket state (copy-on-write output / compaction output);
+    # "delta": merge-on-read append containing only that batch's winners —
+    # readers LWW-reduce base+deltas per key (SURVEY.md §4.3)
+    kind: str = "base"
 
 
 @dataclass
@@ -213,6 +217,16 @@ class TranscriptTable:
         return out
 
     # ---------------------------------------------------------------- scan
+    def delta_file_counts(self, buckets: set[int] | None = None) -> dict[int, int]:
+        """Distinct delta COMMITS per bucket (a commit may write several files
+        per bucket via write-salting; compaction policy counts commits)."""
+        commits: dict[int, set[str]] = {}
+        for f in self.files_in_buckets(buckets):
+            if f.kind == "delta":
+                commit_dir = f.path.split("/")[1] if "/" in f.path else f.path
+                commits.setdefault(f.bucket, set()).add(commit_dir)
+        return {b: len(s) for b, s in commits.items()}
+
     def scan(
         self,
         spark: SparkSession,
@@ -224,6 +238,12 @@ class TranscriptTable:
         Old data files written before a schema widening lack the new columns;
         reading with the snapshot's explicit physical schema null-fills them
         (additive-evolution read path, BASELINE.json:6).
+
+        With merge-on-read delta files present, a key may have several
+        versions across base+deltas; ``with_meta=True`` returns the raw
+        multi-version rows (the MERGE operator's fused aggregation resolves
+        them along with the batch), while the logical scan LWW-reduces per
+        key by (ts, event_seq) and drops tombstones.
         """
         phys = physical_schema(self.schema)
         files = self.files_in_buckets(buckets)
@@ -234,6 +254,16 @@ class TranscriptTable:
             df = spark.read.schema(phys).parquet(*paths)
         if with_meta:
             return df
+        if any(f.kind == "delta" for f in files):
+            key_cols = ["conv_id", "turn_idx"]
+            payload = [c for c in df.columns if c not in key_cols]
+            winner = F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col("ts"), F.col("event_seq")),
+            ).alias("_w")
+            df = df.groupBy(*key_cols).agg(winner).select(
+                *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+            )
         return df.filter(~F.col("_deleted")).drop(*META_COLS)
 
     # -------------------------------------------------------------- commit
@@ -269,7 +299,9 @@ class TranscriptTable:
         return TranscriptTable(self.root, snap)
 
     # -------------------------------------------------------- file harvest
-    def harvest_files(self, commit_dir_rel: str) -> list[DataFileInfo]:
+    def harvest_files(
+        self, commit_dir_rel: str, kind_for_bucket=None
+    ) -> list[DataFileInfo]:
         """Collect DataFileInfo for files written under data/<commit_dir_rel>/
         (layout: _bucket=K/part-*.parquet from a partitionBy write). Reads
         only parquet footers (row counts + conv_id min/max stats)."""
@@ -298,10 +330,14 @@ class TranscriptTable:
                             cmin = mn if cmin is None else min(cmin, mn)
                             cmax = mx if cmax is None else max(cmax, mx)
                 rel = os.path.relpath(full, self.root)
+                kind = (
+                    kind_for_bucket(bucket) if callable(kind_for_bucket)
+                    else (kind_for_bucket or "base")
+                )
                 out.append(
                     DataFileInfo(
                         path=rel, bucket=bucket, rows=rows, live_rows=live,
-                        conv_id_min=cmin, conv_id_max=cmax,
+                        conv_id_min=cmin, conv_id_max=cmax, kind=kind,
                     )
                 )
         return out
