@@ -99,10 +99,10 @@ def main() -> int:
     # ---- headline: end-to-end CDC replay --------------------------------
     binlog = _binlog_for(sf, n_events)
     cfg = EngineConfig(
-        n_buckets=32, n_salt=8,
+        n_buckets=32, n_salt=int(os.environ.get("BENCH_SALT", "1")),
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
         merge_mode=os.environ.get("BENCH_MERGE_MODE", "mor"),
-        compact_delta_files=2,   # compaction fires mid-run -> amortized-honest
+        compact_delta_files=1,   # compaction fires mid-run -> amortized-honest
     )
 
     # warmup: tiny replay to absorb one-time JVM codegen + Python-worker
@@ -124,7 +124,7 @@ def main() -> int:
         os.path.join(work, "table"),
         os.path.join(work, "ckpt"),
         config=cfg,
-        max_files_per_trigger=int(os.environ.get("BENCH_FILES_PER_TRIGGER", "4")),
+        max_files_per_trigger=int(os.environ.get("BENCH_FILES_PER_TRIGGER", "8")),
     )
     replay_sec = time.time() - t0
     rows_in = sum(r.rows_in for r in results)

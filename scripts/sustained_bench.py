@@ -1,0 +1,120 @@
+"""Sustained-ingest degradation curve: per-batch apply cost as the table
+grows, CoW vs MoR (the 10^10-event argument in numbers).
+
+CoW rewrites every touched bucket per batch -> cost grows with live table
+size under random keys. MoR appends O(batch) deltas with periodic compaction
+-> amortized-flat. Writes BENCH/SUSTAINED.md with both curves.
+
+Usage: python scripts/sustained_bench.py [n_batches] [events_per_batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_mode(spark, mode: str, n_batches: int, events_per_batch: int) -> list[dict]:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.generator import fast_binlog
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.schema import CHANGE_EVENT_SCHEMA
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    base = os.environ.get("BENCH_WORKDIR") or (
+        "/dev/shm/spark_graft_sustained" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    work = tempfile.mkdtemp(prefix=f"sustained_{mode}_", dir=base if os.path.isdir(base) else None)
+    cfg = EngineConfig(
+        n_buckets=32, n_salt=8, shuffle_partitions=32,
+        merge_mode=mode, compact_delta_files=4,
+    )
+    root = os.path.join(work, "table")
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+
+    rows = []
+    for i in range(n_batches):
+        # fresh keyspace slice per batch: ~uniform growth of the live table
+        seg_dir = os.path.join(work, f"gen{i}")
+        fast_binlog(
+            seg_dir, n_events=events_per_batch, n_segments=1, seed=1000 + i,
+            n_conversations=max(200, events_per_batch // 20),
+            conv_offset=i * 10_000_000,   # disjoint keyspace -> table grows
+        )
+        df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(seg_dir)
+        t0 = time.time()
+        r = apply_batch(spark, root, df, i, config=cfg)
+        dt = time.time() - t0
+        table = TranscriptTable.load(root)
+        live = sum(f.rows for f in table.snapshot.files)
+        rows.append(
+            {"batch": i, "sec": round(dt, 2), "table_rows": live,
+             "applied": r.events_applied,
+             "ev_per_sec": round(r.rows_in / dt, 0)}
+        )
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return rows
+
+
+def main() -> int:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    events_per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+
+    from sfr_ingest_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[16]", app_name="sustained-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    curves = {}
+    for mode in ("cow", "mor"):
+        curves[mode] = run_mode(spark, mode, n_batches, events_per_batch)
+        print(mode, json.dumps(curves[mode]), flush=True)
+
+    def tail_avg(rows, k=3):
+        return sum(r["ev_per_sec"] for r in rows[-k:]) / k
+
+    md_rows = "\n".join(
+        f"| {i} | {curves['cow'][i]['table_rows']:,} | "
+        f"{curves['cow'][i]['sec']:.2f} | {curves['mor'][i]['sec']:.2f} |"
+        for i in range(n_batches)
+    )
+    md = f"""# BENCH/SUSTAINED — apply cost vs table size (CoW vs MoR)
+
+`python scripts/sustained_bench.py {n_batches} {events_per_batch}` on
+{time.strftime('%Y-%m-%d')}, local[16], tmpfs. Each batch ingests
+{events_per_batch:,} fresh-keyed events (distinct seed per batch), so the
+live table grows ~linearly; the question is whether per-batch apply time
+grows with it.
+
+| batch | table rows (cow) | cow sec | mor sec |
+|---|---|---|---|
+{md_rows}
+
+Tail throughput (last 3 batches): cow {tail_avg(curves['cow']):,.0f} ev/s,
+mor {tail_avg(curves['mor']):,.0f} ev/s.
+
+Interpretation: CoW rewrites every touched bucket each batch, so its
+per-batch cost tracks live table size — at 10^10 events this is quadratic
+total work and a non-starter. MoR appends O(batch) winner rows, paying a
+bounded compaction every compact_delta_files batches; its per-batch cost
+stays ~flat (sawtooth at compaction batches). Both modes read touched-bucket
+data for exact per-batch counters; shrinking that read via manifest key-range
+pruning is the next lever.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SUSTAINED.md"), "w") as f:
+        f.write(md)
+    print("-> BENCH/SUSTAINED.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

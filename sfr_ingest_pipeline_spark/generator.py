@@ -229,6 +229,7 @@ def fast_binlog(
     ts_tie_ratio: float = 0.05,
     zipf_s: float = 0.0,
     text_chars: int = 400,
+    conv_offset: int = 0,
 ) -> int:
     """Seeded, fully numpy-vectorized binlog writer (~10M events/s/core).
 
@@ -309,7 +310,8 @@ def fast_binlog(
             {
                 "op": pa.array(op[idx], pa.string()),
                 "conv_id": pa.array(
-                    [f"conv-{c:08d}" for c in conv[idx]], pa.string()
+                    [f"conv-{conv_offset + c:010d}" for c in conv[idx]],
+                    pa.string(),
                 ),
                 "turn_idx": pa.array(turn[idx], pa.int32()),
                 "role": pa.array(roles[idx], pa.string()),

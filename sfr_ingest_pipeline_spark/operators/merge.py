@@ -183,6 +183,10 @@ def apply_batch(
     )
 
     # ---- touched buckets (manifest pruning) --------------------------------
+    # NOTE the batch is deliberately NOT persisted across its two jobs
+    # (bucket discovery, then the merge): caching deserialized rows measured
+    # ~35% SLOWER than re-decoding the zstd parquet at local[8] — columnar
+    # decode is cheaper than row-cache memory traffic
     obs_in = Observation(f"rows_in_{batch_id}_{uuid.uuid4().hex[:6]}")
     bucketed = batch_df.select(
         bucket_expr(F.col("conv_id"), table.n_buckets).alias("_bucket")

@@ -328,6 +328,102 @@ def q_simhash_docs(spark, sf_dir):
     return docs.select("doc_id", D.simhash32("text").alias("simhash"))
 
 
+
+
+# --------------------------------------------------------------------------
+# Coverage round 2: cube, exact percentiles, ordered string-agg, explode,
+# window frames, date parts, multi-source schema-union ingest (SURVEY §2.4
+# A5, §2.5 frames, §2.7 U1, §2.8 F2/F7)
+# --------------------------------------------------------------------------
+
+def q_cube_status_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q_user_event_type_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        )
+    )
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 4).alias("avg_x"),
+        F.round(F.max(F.col("x").cast("double")), 4).alias("max_x"),
+    )
+
+
+def q_running_value_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def q_orders_by_year(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
+    )
+
+
+def q_multi_source_union(spark, sf_dir):
+    """U1: per-source streams with drifted schemas merge via unionByName
+    (allowMissingColumns) — the reference unions hathi/gutenberg/doab/met
+    feeds into one pipeline (SURVEY.md §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    src_a = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src_b = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )  # drifted: no value column
+    merged = src_a.unionByName(src_b, allowMissingColumns=True)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_with_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_conversation_reconstruction(spark, sf_dir):
+    """Ordered per-key payload assembly: the ES-manager analog that the
+    reference builds per work before indexing (SURVEY.md §3.1 E3)."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "|", F.transform(ordered, lambda x: x["event_type"])
+        ).alias("event_seq_str")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
     "dedup_dropped_per_user": q_dedup_dropped_per_user,
@@ -358,6 +454,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "srp_ann_topk": q_srp_ann_topk,
     "simhash_docs": q_simhash_docs,
+    "cube_status_priority": q_cube_status_priority,
+    "value_percentiles": q_value_percentiles,
+    "user_event_type_sets": q_user_event_type_sets,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "running_value_sum": q_running_value_sum,
+    "orders_by_year": q_orders_by_year,
+    "multi_source_union": q_multi_source_union,
+    "conversation_reconstruction": q_conversation_reconstruction,
 }
 
 
@@ -598,3 +702,64 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked WHERE rank <= 3
     """,
 }
+
+ORACLE_SQL.update({
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_totalprice
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type
+    """,
+    "user_event_type_sets": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS event_types
+        FROM events GROUP BY user_id
+    """,
+    "embedding_dim_stats": """
+        SELECT i - 1 AS dim,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS avg_x,
+               round(max(CAST(embedding[i] AS DOUBLE)), 4) AS max_x
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY 1
+    """,
+    "running_value_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+        FROM events
+    """,
+    "orders_by_year": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_totalprice
+        FROM orders GROUP BY 1
+    """,
+    "multi_source_union": """
+        WITH merged AS (
+            SELECT event_id, user_id, event_type, value
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, user_id, event_type, NULL AS value
+            FROM events WHERE event_id % 2 = 1
+        )
+        SELECT event_type, count(*) AS n_events,
+               count(value) AS n_with_value,
+               round(sum(value), 2) AS sum_value
+        FROM merged GROUP BY event_type
+    """,
+    "conversation_reconstruction": """
+        SELECT user_id,
+               string_agg(event_type, '|' ORDER BY ts, event_id)
+                   AS event_seq_str
+        FROM events GROUP BY user_id
+    """,
+})
