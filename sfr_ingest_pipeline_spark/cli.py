@@ -81,9 +81,10 @@ def cmd_replay(args) -> int:
     )
     schema = CHANGE_EVENT_SCHEMA_V2 if args.v2_schema else CHANGE_EVENT_SCHEMA
     t0 = time.time()
+    binlogs = args.binlog if len(args.binlog) > 1 else args.binlog[0]
     results = replay_stream(
         spark,
-        args.binlog,
+        binlogs,
         args.table,
         args.checkpoint,
         config=cfg,
@@ -143,6 +144,44 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.table.maintenance import compact
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    t0 = time.time()
+    table = compact(
+        spark, args.table, config=cfg,
+        expire_tombstones_older_than_us=args.tombstone_watermark_us,
+    )
+    print(json.dumps({
+        "snapshot_id": table.snapshot.snapshot_id,
+        "files": len(table.snapshot.files),
+        "rows": sum(f.rows for f in table.snapshot.files),
+        "sec": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    from sfr_ingest_pipeline_spark.table.maintenance import expire_snapshots
+
+    print(json.dumps(expire_snapshots(args.table, keep_last=args.keep_last)))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from sfr_ingest_pipeline_spark.table.maintenance import verify_against_binlog
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    report = verify_against_binlog(spark, args.table, args.binlog)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sfr_ingest_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -162,7 +201,8 @@ def main(argv: list[str] | None = None) -> int:
     g.set_defaults(fn=cmd_generate)
 
     r = sub.add_parser("replay", help="bounded CDC replay binlog -> table")
-    r.add_argument("--binlog", required=True)
+    r.add_argument("--binlog", required=True, action="append",
+                   help="binlog dir; repeat for multi-source union ingest")
     r.add_argument("--table", required=True)
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--buckets", type=int, default=16)
@@ -185,6 +225,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--with-meta", action="store_true")
     _add_spark_args(s)
     s.set_defaults(fn=cmd_scan)
+
+
+    c = sub.add_parser("compact", help="compact delta files into base files")
+    c.add_argument("--table", required=True)
+    c.add_argument("--tombstone-watermark-us", type=int, default=None)
+    _add_spark_args(c)
+    c.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("expire", help="expire old snapshots + GC data files")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=5)
+    e.set_defaults(fn=cmd_expire)
+
+    v = sub.add_parser("verify", help="diff table vs independent binlog reduce")
+    v.add_argument("--table", required=True)
+    v.add_argument("--binlog", required=True, action="append")
+    _add_spark_args(v)
+    v.set_defaults(fn=cmd_verify)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -74,6 +74,11 @@ class GeneratorSpec:
     ts_tie_ratio: float = 0.05
     zipf_s: float = 0.0
     schema_v2_from_segment: int | None = None
+    # multi-source composition: give each source disjoint event_seq ranges
+    # and distinct ts bases so LWW order stays a total order across sources
+    seq_offset: int = 0
+    ts_offset_us: int = 0
+    conv_prefix: str = "conv"
 
 
 class BinlogGenerator:
@@ -104,8 +109,8 @@ class BinlogGenerator:
         live: set[tuple[str, int]] = set()
         recent: deque = deque(maxlen=256)          # redelivery pool
         late: list[tuple[int, dict]] = []          # (target_segment, event)
-        ts_us = 1_700_000_000_000_000              # 2023-11-14T22:13:20Z
-        event_seq = 0
+        ts_us = 1_700_000_000_000_000 + spec.ts_offset_us
+        event_seq = spec.seq_offset
         emitted = 0
 
         for seg_no in range(spec.n_segments):
@@ -130,7 +135,7 @@ class BinlogGenerator:
                     conv_no = int(rng.choice(spec.n_conversations, p=self._conv_probs))
                 else:
                     conv_no = int(rng.integers(spec.n_conversations))
-                conv_id = f"conv-{conv_no:08d}"
+                conv_id = f"{spec.conv_prefix}-{conv_no:08d}"
                 turn_idx = int(rng.integers(self._turns[conv_no]))
                 key = (conv_id, turn_idx)
 

@@ -28,7 +28,7 @@ from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
 
 def replay_stream(
     spark: SparkSession,
-    binlog_dir: str,
+    binlog_dir,
     table_root: str,
     checkpoint_dir: str,
     config: EngineConfig = DEFAULT_CONFIG,
@@ -48,7 +48,16 @@ def replay_stream(
     ``fail_after_batch`` injects a crash AFTER the snapshot commit of that
     batch id but BEFORE the streaming checkpoint records it — the §4.4
     corner; tests use it to prove exactly-once on resume.
+
+    ``binlog_dir`` may be a path, a BinlogSource, or a list of either —
+    multiple per-feed tails union into one pipeline (SURVEY.md §2.7 U1) with
+    per-source offsets tracked in the same checkpoint; a source may carry a
+    drifted (wider) schema via BinlogSource(path, schema).
     """
+    from sfr_ingest_pipeline_spark.sources.binlog import (
+        BinlogSource,
+        read_binlog_stream,
+    )
     if not TranscriptTable.exists(table_root):
         logical = T.StructType(
             [f for f in event_schema.fields if f.name not in ("op", "event_seq")]
@@ -60,10 +69,15 @@ def replay_stream(
         ) else logical
         TranscriptTable.create(table_root, schema=base, n_buckets=config.n_buckets)
 
-    reader = spark.readStream.schema(event_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    events = reader.parquet(binlog_dir)
+    if isinstance(binlog_dir, (str, BinlogSource)):
+        sources = [binlog_dir if isinstance(binlog_dir, BinlogSource)
+                   else BinlogSource(binlog_dir, event_schema)]
+    else:
+        sources = [s if isinstance(s, BinlogSource) else BinlogSource(s, event_schema)
+                   for s in binlog_dir]
+    events = read_binlog_stream(
+        spark, sources, max_files_per_trigger=max_files_per_trigger
+    )
 
     results: list[MergeResult] = []
 

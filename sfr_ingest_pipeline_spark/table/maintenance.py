@@ -1,0 +1,154 @@
+"""Table maintenance operators: compaction, snapshot expiry, tombstone GC,
+and an end-to-end verify (SURVEY.md §2.7 U2 regression diff).
+
+These run OUTSIDE the streaming loop (a real deployment schedules them), and
+each is a normal snapshot commit so time travel and the batch-id marker
+survive: maintenance commits carry the parent's batch_id forward — they must
+never make a replayed batch look new again (exactly-once invariant)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+from sfr_ingest_pipeline_spark.table.transcript_table import (
+    TranscriptTable,
+    bucket_expr,
+)
+
+
+def compact(
+    spark: SparkSession,
+    table_root: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    buckets: set[int] | None = None,
+    expire_tombstones_older_than_us: int | None = None,
+) -> TranscriptTable:
+    """Rewrite the chosen buckets (default: every bucket holding delta files)
+    into single-version base files; optionally drop tombstones whose winning
+    write is older than a watermark (safe once no event older than the
+    watermark can still arrive — the operator's caller owns that promise)."""
+    table = TranscriptTable.load(table_root)
+    if buckets is None:
+        buckets = set(table.delta_file_counts().keys())
+        if expire_tombstones_older_than_us is not None:
+            buckets |= {f.bucket for f in table.snapshot.files}
+    if not buckets:
+        return table
+
+    df = table.scan(spark, with_meta=True, buckets=buckets)
+    key_cols = list(config.key_cols)
+    payload = [c for c in df.columns if c not in key_cols]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(F.col("ts"), F.col("event_seq")),
+    ).alias("_w")
+    resolved = df.groupBy(*key_cols).agg(winner).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+    if expire_tombstones_older_than_us is not None:
+        keep = ~F.col("_deleted") | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            >= F.lit(expire_tombstones_older_than_us)
+        )
+        resolved = resolved.filter(keep)
+
+    commit_rel = (
+        f"data/compact-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    out_dir = os.path.join(table.root, commit_rel)
+    n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, len(buckets))))
+    (
+        resolved.withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
+        .withColumn(
+            "_wsalt",
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_wsalt)),
+        )
+        .repartition(len(buckets) * n_wsalt, F.col("_bucket"), F.col("_wsalt"))
+        .sortWithinPartitions(*key_cols)
+        .drop("_wsalt")
+        .write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+    )
+    new_files = table.harvest_files(commit_rel, kind_for_bucket="base")
+    props = dict(table.snapshot.properties)  # carry batch_id marker forward
+    props["maintenance"] = {
+        "op": "compact",
+        "buckets": sorted(buckets),
+        "tombstone_watermark_us": expire_tombstones_older_than_us,
+    }
+    return table.commit(buckets, new_files, props)
+
+
+def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
+    """Drop snapshot metadata older than the last ``keep_last`` and delete
+    data files no retained snapshot references. The time-travel window
+    shrinks to the retained set; the current snapshot is always retained."""
+    table = TranscriptTable.load(table_root)
+    current = table.snapshot.snapshot_id
+    keep_ids = set(range(max(1, current - keep_last + 1), current + 1))
+
+    referenced: set[str] = set()
+    kept, dropped_meta = 0, 0
+    for snap in table.history():
+        if snap.snapshot_id in keep_ids:
+            referenced |= {f.path for f in snap.files}
+            kept += 1
+        else:
+            os.remove(TranscriptTable._snap_path(table_root, snap.snapshot_id))
+            dropped_meta += 1
+
+    dropped_files = 0
+    data_root = os.path.join(table_root, "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for fn in files:
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, table_root)
+            if rel not in referenced and fn.endswith(".parquet"):
+                os.remove(full)
+                dropped_files += 1
+    return {
+        "kept_snapshots": kept,
+        "dropped_snapshots": dropped_meta,
+        "dropped_data_files": dropped_files,
+    }
+
+
+def verify_against_binlog(
+    spark: SparkSession,
+    table_root: str,
+    binlog_dirs,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """U2 regression diff: independently reduce the binlog(s) with the batch
+    LWW path and exceptAll both directions against the table — both empty
+    means the converged state is exactly the replay of the log."""
+    from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
+    from sfr_ingest_pipeline_spark.operators.lww import lww_reduce
+    from sfr_ingest_pipeline_spark.sources.binlog import read_binlog
+
+    table = TranscriptTable.load(table_root)
+    logical_cols = [f.name for f in table.schema.fields]
+
+    events = read_binlog(spark, binlog_dirs)
+    events = events.withColumn("text", normalize_text_udf("text"))
+    winners = lww_reduce(events, list(config.key_cols), list(config.order_cols))
+    expected = winners.filter(F.col("op") != "D")
+    expected = expected.select(
+        *[F.col(c) if c in expected.columns else F.lit(None).alias(c)
+          for c in logical_cols]
+    )
+    actual = table.scan(spark).select(*logical_cols)
+
+    missing = expected.exceptAll(actual).count()
+    extra = actual.exceptAll(expected).count()
+    return {
+        "rows_expected": expected.count(),
+        "rows_actual": actual.count(),
+        "missing_in_table": missing,
+        "unexpected_in_table": extra,
+        "ok": missing == 0 and extra == 0,
+    }

@@ -1,0 +1,97 @@
+"""Maintenance ops: compaction preserves state + batch-id marker, snapshot
+expiry GCs unreferenced files, verify_against_binlog detects corruption."""
+
+import glob
+import os
+from dataclasses import replace
+
+import pandas as pd
+
+from sfr_ingest_pipeline_spark.oracle import LOGICAL_COLS, simulate_replay
+from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+from sfr_ingest_pipeline_spark.table.maintenance import (
+    compact,
+    expire_snapshots,
+    verify_against_binlog,
+)
+from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+
+def _build_mor_table(spark, tmp_path, segments, cfg, name="t"):
+    cfg = replace(cfg, merge_mode="mor", compact_delta_files=100)  # never auto-compact
+    root = str(tmp_path / name)
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+    for i, seg in enumerate(segments):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=cfg)
+    return root, cfg
+
+
+def _table_pandas(spark, root):
+    return (
+        TranscriptTable.load(root).scan(spark)
+        .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+
+
+def test_compact_preserves_state_and_marker(spark, tmp_path, segments_basic, small_cfg):
+    root, cfg = _build_mor_table(spark, tmp_path, segments_basic, small_cfg)
+    before = _table_pandas(spark, root)
+    last_batch = TranscriptTable.load(root).last_batch_id
+    assert TranscriptTable.load(root).delta_file_counts(), "expected deltas"
+
+    table = compact(spark, root, config=cfg)
+    assert not table.delta_file_counts(), "compaction must clear deltas"
+    assert table.last_batch_id == last_batch, "batch-id marker must survive"
+    pd.testing.assert_frame_equal(before, _table_pandas(spark, root))
+
+    # idempotency after compaction: re-delivering an old batch still skips
+    res = apply_batch(spark, root, spark.createDataFrame(segments_basic[0]), 0, config=cfg)
+    assert res.skipped
+
+
+def test_compact_expires_tombstones(spark, tmp_path, segments_basic, small_cfg):
+    root, cfg = _build_mor_table(spark, tmp_path, segments_basic, small_cfg, "t2")
+    raw = TranscriptTable.load(root).scan(spark, with_meta=True)
+    # tombstones exist before
+    pre = raw.filter("_deleted").count()
+    assert pre > 0
+    far_future = 4_000_000_000_000_000  # > every event ts
+    compact(spark, root, config=cfg, expire_tombstones_older_than_us=far_future)
+    post = TranscriptTable.load(root).scan(spark, with_meta=True).filter("_deleted").count()
+    assert post == 0
+    # live rows unchanged
+    sim = simulate_replay(segments_basic)
+    got = _table_pandas(spark, root)
+    pd.testing.assert_frame_equal(got[LOGICAL_COLS], sim.table[LOGICAL_COLS], check_dtype=False)
+
+
+def test_expire_snapshots_gcs_files(spark, tmp_path, segments_basic, small_cfg):
+    root, cfg = _build_mor_table(spark, tmp_path, segments_basic, small_cfg, "t3")
+    compact(spark, root, config=cfg)
+    n_files_before = len(glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True))
+    stats = expire_snapshots(root, keep_last=1)
+    assert stats["dropped_snapshots"] > 0
+    assert stats["dropped_data_files"] > 0
+    n_files_after = len(glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True))
+    assert n_files_after < n_files_before
+    # current state unharmed
+    sim = simulate_replay(segments_basic)
+    got = _table_pandas(spark, root)
+    pd.testing.assert_frame_equal(got[LOGICAL_COLS], sim.table[LOGICAL_COLS], check_dtype=False)
+
+
+def test_verify_against_binlog(spark, tmp_path, binlog_basic, small_cfg):
+    from sfr_ingest_pipeline_spark.streaming.replay import replay_stream
+
+    binlog, _ = binlog_basic
+    root = str(tmp_path / "table")
+    replay_stream(spark, binlog, root, str(tmp_path / "ckpt"), config=small_cfg)
+    report = verify_against_binlog(spark, root, binlog, config=small_cfg)
+    assert report["ok"], report
+
+    # corrupt the table: delete one data file's entry by committing a fake
+    table = TranscriptTable.load(root)
+    victim = table.snapshot.files[0]
+    table.commit({victim.bucket}, [], dict(table.snapshot.properties))
+    report2 = verify_against_binlog(spark, root, binlog, config=small_cfg)
+    assert not report2["ok"] and report2["missing_in_table"] > 0

@@ -1,0 +1,96 @@
+"""Plan-quality gates (SURVEY.md §4.2): assert the physical plans we rely on,
+don't hope for them. These tests fail if a refactor breaks predicate
+pushdown, column pruning, broadcast selection or map-side partial
+aggregation."""
+
+from pyspark.sql import functions as F
+
+from sfr_ingest_pipeline_spark.operators.lww import lww_reduce
+from sfr_ingest_pipeline_spark.plans import (
+    has_broadcast_join,
+    has_cartesian_product,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from sfr_ingest_pipeline_spark.queries import (
+    q_pricing_summary,
+    q_region_revenue,
+    q_top_revenue_orders,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q_pricing_summary(spark, SF)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_column_pruning(spark):
+    df = q_pricing_summary(spark, SF)
+    scans = read_schema_columns(df)
+    assert scans, "expected at least one parquet scan"
+    cols = set().union(*[set(s) for s in scans])
+    # lineitem has 11 columns; the query needs 6
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+def test_dimension_joins_broadcast(spark):
+    df = q_region_revenue(spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_product(df)
+
+
+def test_top_revenue_no_cartesian(spark):
+    df = q_top_revenue_orders(spark, SF)
+    assert not has_cartesian_product(df)
+
+
+def test_lww_reduce_has_partial_agg(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    red = lww_reduce(ev, ["user_id"], ["ts", "event_id"], n_salt=1)
+    assert has_partial_aggregate(red)
+
+
+def test_scan_only_needed_columns_for_projection(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    scans = read_schema_columns(docs)
+    assert scans and scans[0] == ["doc_id"], scans
+
+
+def test_codegen_spans_exist(spark):
+    # AQE defers physical planning, reporting 0 codegen subtrees before
+    # execution — plan once with AQE off to see the codegen structure
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q_pricing_summary(spark, SF)
+        assert wholestage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_merge_plan_no_cartesian_and_partial(spark, tmp_path, segments_basic, small_cfg):
+    """The fused LWW+MERGE plan: no cartesian anywhere, map-side combine on."""
+    from pyspark.sql import types as T
+
+    from sfr_ingest_pipeline_spark.operators.merge import _merge_agg, _null_fill
+    from sfr_ingest_pipeline_spark.schema import TRANSCRIPT_SCHEMA
+    from sfr_ingest_pipeline_spark.table.transcript_table import physical_schema
+
+    batch = spark.createDataFrame(segments_basic[0])
+    phys = physical_schema(TRANSCRIPT_SCHEMA)
+    src = _null_fill(batch, TRANSCRIPT_SCHEMA)
+    src = src.withColumn("_deleted", F.col("op") == "D").select(
+        *[f.name for f in phys.fields]
+    ).withColumns({
+        "_src_rank": F.lit(0), "_n_s": F.lit(1).cast("long"),
+        "_has_t": F.lit(False),
+    })
+    carry = [f.name for f in phys.fields if f.name not in ("conv_id", "turn_idx")]
+    resolved = _merge_agg(src, ["conv_id", "turn_idx"], carry, ["ts", "event_seq"])
+    assert not has_cartesian_product(resolved)
+    assert has_partial_aggregate(resolved)
