@@ -202,15 +202,34 @@ class BinlogGenerator:
             cols[name] = arr
         return pa.table(cols, schema=schema)
 
-    def write_binlog(self, out_dir: str) -> int:
-        """Write segment-%06d.parquet files; returns total event rows."""
+    def write_binlog(self, out_dir: str, fmt: str = "parquet") -> int:
+        """Write segment-%06d.{parquet,jsonl} files; returns total rows."""
         os.makedirs(out_dir, exist_ok=True)
         total = 0
         for i, table in enumerate(self.iter_segments()):
-            pq.write_table(table, os.path.join(out_dir, f"segment-{i:06d}.parquet"),
-                           row_group_size=65536)
+            if fmt == "jsonl":
+                self._write_jsonl(
+                    table, os.path.join(out_dir, f"segment-{i:06d}.jsonl")
+                )
+            else:
+                pq.write_table(
+                    table, os.path.join(out_dir, f"segment-{i:06d}.parquet"),
+                    row_group_size=65536,
+                )
             total += table.num_rows
         return total
+
+    @staticmethod
+    def _write_jsonl(table: pa.Table, path: str) -> None:
+        """JSON-envelope wire format (ISO-8601 µs timestamps, Spark-parsable)."""
+        import datetime
+
+        rows = table.to_pylist()
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                if isinstance(r.get("ts"), datetime.datetime):
+                    r["ts"] = r["ts"].isoformat(sep=" ", timespec="microseconds")
+                f.write(json.dumps(r, ensure_ascii=False) + "\n")
 
 
 def generate_binlog(out_dir: str, **spec_kwargs) -> int:

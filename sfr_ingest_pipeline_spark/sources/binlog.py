@@ -26,9 +26,18 @@ from sfr_ingest_pipeline_spark.schema import CHANGE_EVENT_SCHEMA
 class BinlogSource:
     path: str
     schema: T.StructType = CHANGE_EVENT_SCHEMA
+    # "parquet" or "jsonl" — the reference's transport is JSON envelopes on
+    # Kinesis (SURVEY.md §1.1), so JSONL segment files are a first-class
+    # wire format; schemas stay explicit (never inferred) either way.
+    format: str = "parquet"
     # event_seq ranges must be disjoint across sources (generator contract);
     # nothing here enforces it — LWW ties on (ts, event_seq) across sources
     # would otherwise be payload-nondeterministic.
+
+    def _load(self, reader):
+        if self.format == "jsonl":
+            return reader.json(self.path)
+        return reader.parquet(self.path)
 
 
 def _coerce(sources) -> list[BinlogSource]:
@@ -39,9 +48,7 @@ def _coerce(sources) -> list[BinlogSource]:
 
 def read_binlog(spark: SparkSession, sources) -> DataFrame:
     """Batch read of one or more binlog dirs, schema-unioned."""
-    dfs = [
-        spark.read.schema(s.schema).parquet(s.path) for s in _coerce(sources)
-    ]
+    dfs = [s._load(spark.read.schema(s.schema)) for s in _coerce(sources)]
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
@@ -62,7 +69,7 @@ def read_binlog_stream(
         reader = spark.readStream.schema(s.schema)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        streams.append(reader.parquet(s.path))
+        streams.append(s._load(reader))
     out = streams[0]
     for df in streams[1:]:
         out = out.unionByName(df, allowMissingColumns=True)

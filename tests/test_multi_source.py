@@ -67,3 +67,35 @@ def test_multi_source_streaming_replay(spark, tmp_path, two_feeds, small_cfg):
     # both feeds actually landed
     prefixes = set(got["conv_id"].str.split("-").str[0])
     assert prefixes == {"hathi", "doab"}
+
+
+def test_jsonl_wire_format_replay(spark, tmp_path, small_cfg):
+    """JSON-envelope segments (the reference's Kinesis wire shape) replay to
+    the same converged table as the parquet form of the same events."""
+    from sfr_ingest_pipeline_spark.generator import BinlogGenerator, GeneratorSpec
+    from sfr_ingest_pipeline_spark.oracle import (
+        LOGICAL_COLS,
+        load_binlog_pandas,
+        reduce_binlog,
+    )
+
+    spec = GeneratorSpec(seed=31, n_events=800, n_segments=2, n_conversations=25)
+    pq_dir = str(tmp_path / "pq")
+    jl_dir = str(tmp_path / "jl")
+    BinlogGenerator(spec).write_binlog(pq_dir)
+    BinlogGenerator(spec).write_binlog(jl_dir, fmt="jsonl")
+
+    root = str(tmp_path / "table")
+    results = replay_stream(
+        spark, BinlogSource(jl_dir, format="jsonl"), root,
+        str(tmp_path / "ckpt"), config=small_cfg,
+    )
+    assert all(r.committed for r in results)
+    golden = reduce_binlog(load_binlog_pandas(pq_dir))
+    got = (
+        TranscriptTable.load(root).scan(spark)
+        .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[LOGICAL_COLS], golden[LOGICAL_COLS], check_dtype=False
+    )
