@@ -519,7 +519,7 @@ ORACLE_SQL: dict[str, str] = {
                    THEN 1 ELSE 0 END AS new_session
             FROM events
         )
-        SELECT user_id, sum(new_session) AS n_sessions
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM flagged GROUP BY user_id
     """,
     "hourly_event_stats": """
@@ -624,7 +624,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "token_stats_by_lang": r"""
         SELECT lang, count(*) AS n_docs,
-               sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
+               CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
                round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
         FROM documents GROUP BY lang
     """,
@@ -722,7 +722,7 @@ ORACLE_SQL.update({
         FROM events GROUP BY user_id
     """,
     "embedding_dim_stats": """
-        SELECT i - 1 AS dim,
+        SELECT CAST(i - 1 AS INT) AS dim,
                round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS avg_x,
                round(max(CAST(embedding[i] AS DOUBLE)), 4) AS max_x
         FROM embeddings,
