@@ -182,6 +182,20 @@ def cmd_verify(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_materialize(args) -> int:
+    from sfr_ingest_pipeline_spark.streaming.materialize import (
+        materialize_conversations,
+    )
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n = materialize_conversations(spark, args.table, args.out)
+    print(json.dumps({"documents": n, "out": args.out,
+                      "sec": round(time.time() - t0, 2)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sfr_ingest_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -237,6 +251,12 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=5)
     e.set_defaults(fn=cmd_expire)
+
+    mz = sub.add_parser("materialize", help="denormalized conversation-document view")
+    mz.add_argument("--table", required=True)
+    mz.add_argument("--out", required=True)
+    _add_spark_args(mz)
+    mz.set_defaults(fn=cmd_materialize)
 
     v = sub.add_parser("verify", help="diff table vs independent binlog reduce")
     v.add_argument("--table", required=True)

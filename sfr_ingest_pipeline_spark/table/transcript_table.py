@@ -266,6 +266,47 @@ class TranscriptTable:
             )
         return df.filter(~F.col("_deleted")).drop(*META_COLS)
 
+    def read_conversation(self, spark: SparkSession, conv_id: str) -> DataFrame:
+        """Point lookup: one conversation's live turns.
+
+        Prunes to the conv's hash bucket via the manifest, then drops files
+        whose footer (conv_id min/max) excludes the key — O(bucket slice)
+        I/O instead of a table scan. This is the engine's analog of the
+        reference's identifier lookup (SURVEY.md §2.3 J1) on the read side."""
+        bucket = None
+        # recompute the bucket with the same expression the writer used
+        probe = spark.createDataFrame([(conv_id,)], "conv_id string")
+        bucket = probe.select(
+            bucket_expr(F.col("conv_id"), self.n_buckets).alias("b")
+        ).collect()[0]["b"]
+        files = [
+            f for f in self.files_in_buckets({bucket})
+            if (f.conv_id_min is None or f.conv_id_min <= conv_id)
+            and (f.conv_id_max is None or conv_id <= f.conv_id_max)
+        ]
+        phys = physical_schema(self.schema)
+        if not files:
+            df = spark.createDataFrame([], phys)
+        else:
+            df = spark.read.schema(phys).parquet(
+                *[os.path.join(self.root, f.path) for f in files]
+            )
+        df = df.filter(F.col("conv_id") == conv_id)
+        if any(f.kind == "delta" for f in files):
+            payload = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
+            winner = F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col("ts"), F.col("event_seq")),
+            ).alias("_w")
+            df = df.groupBy("conv_id", "turn_idx").agg(winner).select(
+                "conv_id", "turn_idx",
+                *[F.col(f"_w.{c}").alias(c) for c in payload],
+            )
+        return (
+            df.filter(~F.col("_deleted")).drop(*META_COLS)
+            .orderBy("turn_idx")
+        )
+
     # -------------------------------------------------------------- commit
     def commit(
         self,

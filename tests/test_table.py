@@ -102,3 +102,22 @@ def test_widen_schema():
 def test_physical_schema_appends_meta():
     phys = physical_schema(TRANSCRIPT_SCHEMA)
     assert phys.fieldNames()[-2:] == ["event_seq", "_deleted"]
+
+
+def test_read_conversation_point_lookup(spark, tmp_path, segments_basic, small_cfg):
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.oracle import simulate_replay
+
+    root = str(tmp_path / "pl")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    for i, seg in enumerate(segments_basic):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=small_cfg)
+    table = TranscriptTable.load(root)
+    sim = simulate_replay(segments_basic).table
+    conv = sim["conv_id"].iloc[0]
+    got = table.read_conversation(spark, conv).toPandas()
+    exp = sim[sim["conv_id"] == conv].reset_index(drop=True)
+    assert list(got["turn_idx"]) == list(exp["turn_idx"])
+    assert list(got["text"]) == list(exp["text"])
+    # unknown conversation -> empty, no error
+    assert table.read_conversation(spark, "conv-does-not-exist").count() == 0
