@@ -62,6 +62,13 @@ class EngineConfig:
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
+            # AQE's default 64 MB advisory size coalesces a ~1 GB microbatch
+            # shuffle down to ~16 reduce tasks — too few for 32 cores
+            # (measured: the fused merge agg drops 4.7s -> 2.2s at 32 cores
+            # with 16 MB). At 100 TB per-batch shuffles are far larger and
+            # the advisory size should go back up (64-128 MB) so reduce
+            # tasks stay coarse; this is a bench/local sizing.
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
             "spark.sql.execution.arrow.pyspark.enabled": "true",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
             "spark.sql.shuffle.partitions": "32",

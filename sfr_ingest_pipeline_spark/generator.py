@@ -254,6 +254,8 @@ def fast_binlog(
     zipf_s: float = 0.0,
     text_chars: int = 400,
     conv_offset: int = 0,
+    seq_offset: int = 0,
+    ts_offset_us: int = 0,
 ) -> int:
     """Seeded, fully numpy-vectorized binlog writer (~10M events/s/core).
 
@@ -275,8 +277,11 @@ def fast_binlog(
         conv_probs = None
 
     per_segment = max(1, n_events // n_segments)
-    ts_base = 1_700_000_000_000_000
-    event_seq0 = 0
+    # seq_offset / ts_offset_us mirror GeneratorSpec: multi-source binlogs
+    # must carry DISJOINT event_seq ranges (the LWW tie-break and the
+    # oracle's drop_duplicates(event_seq) both rely on it)
+    ts_base = 1_700_000_000_000_000 + ts_offset_us
+    event_seq0 = seq_offset
     total = 0
     for seg_no in range(n_segments):
         n = per_segment if seg_no < n_segments - 1 else n_events - per_segment * (

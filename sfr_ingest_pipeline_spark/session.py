@@ -9,6 +9,34 @@ from pyspark.sql import SparkSession
 from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
 
 
+def _engine_zip() -> str:
+    """Path to an up-to-date engine.zip (rebuilt if any module is newer)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "engine.zip")
+    pkg = os.path.join(repo, "sfr_ingest_pipeline_spark")
+    newest = 0.0
+    for dirpath, _dirs, files in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+        import zipfile
+
+        tmp = f"{out}.tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for dirpath, _dirs, files in os.walk(pkg):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, repo))
+        os.replace(tmp, out)
+    return out
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "sfr-ingest-pipeline-spark",
@@ -24,6 +52,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    if master.startswith("local-cluster"):
+        # separate executor JVMs need the engine shipped the same way a real
+        # cluster would get it: spark-submit --py-files engine.zip (north
+        # rule). Build/refresh the zip from source before attaching it.
+        builder = builder.config("spark.submit.pyFiles", _engine_zip())
     for k, v in config.spark_confs.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():

@@ -8,13 +8,23 @@ one row per conversation with its turns assembled in order — the
 "read-optimized projection" consumers index or embed.
 
 Incremental form: pass the batch's touched conv_ids (from MergeResult /
-lineage) to rebuild only changed documents — the same
-changed-keys-only pattern the reference uses (uuid stream -> es-manager).
+lineage) to rebuild only changed documents — the same changed-keys-only
+pattern the reference uses (uuid stream -> es-manager). Refreshed documents
+are APPENDED stamped with the table snapshot_id (an ES bulk-upsert analog:
+last write wins per conv_id); ``read_documents`` resolves to the newest
+version per conversation, and ``compact_documents`` rewrites the view back
+to one physical row per conv_id. A conversation whose turns were all
+deleted since the last refresh gets an explicit ``n_turns=0`` tombstone row
+so readers drop it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
@@ -45,12 +55,61 @@ def materialize_conversations(
     out_dir: str,
     conv_ids: list[str] | None = None,
 ) -> int:
-    """Write the conversation-document view; optionally only for changed
-    conversations (incremental refresh). Returns documents written."""
+    """Write the conversation-document view; with ``conv_ids`` only changed
+    conversations are recomputed and appended as a new version (LWW by
+    ``snapshot_id`` on read — see ``read_documents``). Returns documents
+    written, counted by an Observation on the write itself (no second pass).
+    """
     table = TranscriptTable.load(table_root)
     scan = table.scan(spark)
     if conv_ids is not None:
         scan = scan.filter(F.col("conv_id").isin(conv_ids))
     docs = conversation_documents(scan)
+    if conv_ids is not None:
+        # conversations with no live turns left still need a fresh version
+        # that marks them gone, else the stale document would win forever
+        requested = spark.createDataFrame(
+            [(c,) for c in conv_ids], "conv_id string"
+        )
+        gone = requested.join(docs.select("conv_id"), "conv_id", "left_anti").select(
+            "conv_id",
+            F.lit(0).cast("long").alias("n_turns"),
+            F.lit(None).cast("timestamp").alias("last_ts"),
+            F.lit(None).cast("string").alias("document"),
+            F.lit(None).cast("array<int>").alias("turn_idxs"),
+        )
+        docs = docs.unionByName(gone)
+    docs = docs.withColumn(
+        "snapshot_id", F.lit(table.snapshot.snapshot_id).cast("long")
+    )
+    obs = Observation(f"mat_{uuid.uuid4().hex[:6]}")
+    docs = docs.observe(obs, F.count(F.lit(1)).alias("n"))
     docs.write.mode("overwrite" if conv_ids is None else "append").parquet(out_dir)
-    return docs.count()
+    return int(obs.get["n"])
+
+
+def read_documents(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current document per conversation: newest ``snapshot_id`` wins;
+    conversations whose latest version is a deletion marker are dropped."""
+    df = spark.read.parquet(out_dir)
+    payload = [c for c in df.columns if c != "conv_id"]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]), F.col("snapshot_id")
+    ).alias("_w")
+    cur = df.groupBy("conv_id").agg(winner).select(
+        "conv_id", *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+    return cur.filter(F.col("n_turns") > 0)
+
+
+def compact_documents(spark: SparkSession, out_dir: str) -> int:
+    """Rewrite the view to one physical row per conv_id (drops superseded
+    versions and deletion markers). Returns rows retained."""
+    cur = read_documents(spark, out_dir)
+    obs = Observation(f"matc_{uuid.uuid4().hex[:6]}")
+    cur = cur.observe(obs, F.count(F.lit(1)).alias("n"))
+    tmp = f"{out_dir.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
+    cur.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return int(obs.get["n"])

@@ -67,7 +67,10 @@ def replay_stream(
         base = TRANSCRIPT_SCHEMA if all(
             f.name in [x.name for x in logical.fields] for f in TRANSCRIPT_SCHEMA.fields
         ) else logical
-        TranscriptTable.create(table_root, schema=base, n_buckets=config.n_buckets)
+        TranscriptTable.create(
+            table_root, schema=base, n_buckets=config.n_buckets,
+            key_cols=config.key_cols, order_cols=config.order_cols,
+        )
 
     if isinstance(binlog_dir, (str, BinlogSource)):
         sources = [binlog_dir if isinstance(binlog_dir, BinlogSource)
@@ -129,10 +132,14 @@ def replay_batch(
     if event_schema is not None:
         reader = reader.schema(event_schema)
     events = reader.option("mergeSchema", "true").parquet(binlog_dir)
-    if normalize:
-        events = events.withColumn("text", normalize_text_udf("text"))
     winners = lww_reduce(
         events, list(config.key_cols), list(config.order_cols), n_salt=config.n_salt
     )
+    if normalize:
+        # normalize AFTER the reduce: the pandas UDF sees O(keys) winner rows,
+        # not O(events) — same winners either way, since normalization does
+        # not touch the key or order columns (the merge path does the same,
+        # operators/merge.py)
+        winners = winners.withColumn("text", normalize_text_udf("text"))
     out = winners.filter(F.col("op") != "D").drop("op")
     return out.orderBy(*config.key_cols)

@@ -41,11 +41,11 @@ def compact(
         return table
 
     df = table.scan(spark, with_meta=True, buckets=buckets)
-    key_cols = list(config.key_cols)
+    key_cols = list(table.snapshot.key_cols)
     payload = [c for c in df.columns if c not in key_cols]
     winner = F.max_by(
         F.struct(*[F.col(c) for c in payload]),
-        F.struct(F.col("ts"), F.col("event_seq")),
+        F.struct(*[F.col(c) for c in table.snapshot.order_cols]),
     ).alias("_w")
     resolved = df.groupBy(*key_cols).agg(winner).select(
         *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
@@ -137,8 +137,15 @@ def verify_against_binlog(
     events = events.withColumn("text", normalize_text_udf("text"))
     winners = lww_reduce(events, list(config.key_cols), list(config.order_cols))
     expected = winners.filter(F.col("op") != "D")
+    # table columns the binlog never carried (post-evolution schema vs an
+    # older-schema binlog) are null-filled WITH the table's type (an uncast
+    # NULL would diff as a schema mismatch) and surfaced explicitly so a
+    # spurious 'missing rows' report can't mask a schema gap
+    table_types = {f.name: f.dataType for f in table.schema.fields}
+    uncovered = [c for c in logical_cols if c not in expected.columns]
     expected = expected.select(
-        *[F.col(c) if c in expected.columns else F.lit(None).alias(c)
+        *[F.col(c) if c in expected.columns
+          else F.lit(None).cast(table_types[c]).alias(c)
           for c in logical_cols]
     )
     actual = table.scan(spark).select(*logical_cols)
@@ -150,5 +157,6 @@ def verify_against_binlog(
         "rows_actual": actual.count(),
         "missing_in_table": missing,
         "unexpected_in_table": extra,
+        "columns_not_covered_by_binlog": uncovered,
         "ok": missing == 0 and extra == 0,
     }

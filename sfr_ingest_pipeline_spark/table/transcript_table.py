@@ -81,6 +81,11 @@ class Snapshot:
     n_buckets: int
     files: list[DataFileInfo] = field(default_factory=list)
     properties: dict = field(default_factory=dict)
+    # natural key + LWW order persisted with the table so the merge-on-read
+    # read path honors a non-default EngineConfig (they default for tables
+    # created before this field existed)
+    key_cols: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
+    order_cols: list[str] = field(default_factory=lambda: ["ts", "event_seq"])
 
     @property
     def schema(self) -> T.StructType:
@@ -137,6 +142,8 @@ class TranscriptTable:
         schema: T.StructType = TRANSCRIPT_SCHEMA,
         n_buckets: int = 16,
         properties: dict | None = None,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        order_cols: tuple[str, ...] = ("ts", "event_seq"),
     ) -> "TranscriptTable":
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -149,6 +156,8 @@ class TranscriptTable:
             n_buckets=n_buckets,
             files=[],
             properties=properties or {},
+            key_cols=list(key_cols),
+            order_cols=list(order_cols),
         )
         _atomic_write_json(cls._snap_path(root, 1), snap.to_json())
         _atomic_write_text(os.path.join(root, "metadata", "version-hint.text"), "1")
@@ -255,11 +264,11 @@ class TranscriptTable:
         if with_meta:
             return df
         if any(f.kind == "delta" for f in files):
-            key_cols = ["conv_id", "turn_idx"]
+            key_cols = list(self.snapshot.key_cols)
             payload = [c for c in df.columns if c not in key_cols]
             winner = F.max_by(
                 F.struct(*[F.col(c) for c in payload]),
-                F.struct(F.col("ts"), F.col("event_seq")),
+                F.struct(*[F.col(c) for c in self.snapshot.order_cols]),
             ).alias("_w")
             df = df.groupBy(*key_cols).agg(winner).select(
                 *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
@@ -273,12 +282,11 @@ class TranscriptTable:
         whose footer (conv_id min/max) excludes the key — O(bucket slice)
         I/O instead of a table scan. This is the engine's analog of the
         reference's identifier lookup (SURVEY.md §2.3 J1) on the read side."""
-        bucket = None
-        # recompute the bucket with the same expression the writer used
-        probe = spark.createDataFrame([(conv_id,)], "conv_id string")
-        bucket = probe.select(
-            bucket_expr(F.col("conv_id"), self.n_buckets).alias("b")
-        ).collect()[0]["b"]
+        # driver-side twin of bucket_expr (verified bit-exact vs Spark's
+        # xxhash64 in tests) — no 1-row Spark job per lookup
+        from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+
+        bucket = bucket_of(conv_id, self.n_buckets)
         files = [
             f for f in self.files_in_buckets({bucket})
             if (f.conv_id_min is None or f.conv_id_min <= conv_id)
@@ -293,14 +301,14 @@ class TranscriptTable:
             )
         df = df.filter(F.col("conv_id") == conv_id)
         if any(f.kind == "delta" for f in files):
-            payload = [c for c in df.columns if c not in ("conv_id", "turn_idx")]
+            key_cols = list(self.snapshot.key_cols)
+            payload = [c for c in df.columns if c not in key_cols]
             winner = F.max_by(
                 F.struct(*[F.col(c) for c in payload]),
-                F.struct(F.col("ts"), F.col("event_seq")),
+                F.struct(*[F.col(c) for c in self.snapshot.order_cols]),
             ).alias("_w")
-            df = df.groupBy("conv_id", "turn_idx").agg(winner).select(
-                "conv_id", "turn_idx",
-                *[F.col(f"_w.{c}").alias(c) for c in payload],
+            df = df.groupBy(*key_cols).agg(winner).select(
+                *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload],
             )
         return (
             df.filter(~F.col("_deleted")).drop(*META_COLS)
@@ -331,6 +339,8 @@ class TranscriptTable:
             n_buckets=cur.n_buckets,
             files=kept + new_files,
             properties=properties,
+            key_cols=list(cur.key_cols),
+            order_cols=list(cur.order_cols),
         )
         _atomic_write_json(self._snap_path(self.root, snap.snapshot_id), snap.to_json())
         # COMMIT POINT:
@@ -357,7 +367,8 @@ class TranscriptTable:
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, fn)
-                md = pq.ParquetFile(full).metadata
+                pf = pq.ParquetFile(full)
+                md = pf.metadata
                 rows = md.num_rows
                 cmin = cmax = None
                 live = rows
@@ -370,6 +381,17 @@ class TranscriptTable:
                             mn, mx = st.min, st.max
                             cmin = mn if cmin is None else min(cmin, mn)
                             cmax = mx if cmax is None else max(cmax, mx)
+                if "_deleted" in schema_names:
+                    # exact live count: the bit-packed boolean chunk is tiny
+                    # (~rows/8 bytes) so counting tombstones here is cheaper
+                    # than a Spark job and keeps the documented semantics
+                    # ('rows minus tombstones') honest
+                    dcol = pf.read(columns=["_deleted"]).column("_deleted")
+                    import pyarrow.compute as pc
+
+                    live = rows - int(
+                        pc.sum(pc.fill_null(dcol, False).cast("int64")).as_py() or 0
+                    )
                 rel = os.path.relpath(full, self.root)
                 kind = (
                     kind_for_bucket(bucket) if callable(kind_for_bucket)

