@@ -88,20 +88,60 @@ def minhash_bands(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    k: int = 5,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing ANY band signature.
 
-    Scale path: group per band (shuffle on signature — uniformly distributed
-    by construction), emit pairs only inside buckets; dedupe pairs across
-    bands. Never a cross join."""
-    sigs = minhash_bands(df.select(id_col, text_col), text_col, n_bands, k)
-    pairs = None
+    Hot-bucket guard (the classic LSH quadratic trap — thousands of
+    identical/near-identical docs sharing a signature would emit O(n²)
+    pairs):
+
+      1. EXACT-DEDUP FIRST: identical texts collapse to one canonical
+         representative before banding; each exact group contributes its
+         members as LINEAR (canonical, member) pairs, never pairwise.
+      2. BUCKET CAP: a band bucket still holding more than
+         ``max_bucket_size`` DISTINCT texts emits no pairs (standard
+         practice — such buckets are degenerate for the shingle size and
+         are handled by a coarser pass or a larger k).
+
+    Scale path: one shuffle on sha256, one per band signature (uniform by
+    construction), pairs emitted only inside size-capped buckets; never a
+    cross join. Members of an exact group share their canonical's
+    candidates transitively."""
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_sha", sha_key(text_col)
+    )
+    groups = base.groupBy("_sha").agg(
+        F.min(id_col).alias("_canon"), F.min(text_col).alias("_text")
+    )
+    exact_pairs = (
+        base.join(groups.select("_sha", "_canon"), "_sha")
+        .filter(F.col(id_col) != F.col("_canon"))
+        .select(F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    reps = groups.select(
+        F.col("_canon").alias(id_col), F.col("_text").alias(text_col)
+    )
+    sigs = minhash_bands(reps, text_col, n_bands, k)
+    pairs = exact_pairs
     for b in range(n_bands):
-        left = sigs.select(F.col(id_col).alias("id_a"), F.col(f"sig_{b}").alias("sig"))
-        right = sigs.select(F.col(id_col).alias("id_b"), F.col(f"sig_{b}").alias("sig"))
+        sb = sigs.select(F.col(id_col), F.col(f"sig_{b}").alias("sig"))
+        ok_sigs = (
+            sb.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
+            .select("sig")
+        )
+        sb = sb.join(ok_sigs, "sig")
+        left = sb.select(F.col(id_col).alias("id_a"), "sig")
+        right = sb.select(F.col(id_col).alias("id_b"), "sig")
         p = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
+        pairs = pairs.unionByName(p)
     return pairs.distinct()
 
 
@@ -115,30 +155,35 @@ def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
 
 
 def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens, fully JVM-side.
+    """32-bit SimHash over whitespace tokens, fully JVM-side, ONE pass.
 
-    Each token votes its xxhash64 bits; the signature bit is 1 where the
-    weighted vote is positive. Bit votes are computed with array transforms
-    + aggregate (no explode, no UDF)."""
-    c = F.col(col) if isinstance(col, str) else col
-    tokens = F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int) -> Column:
-        # sum over tokens of (+1 if bit i set else -1)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+    Token hash = first 8 hex chars of md5 as a uint32 (identical in DuckDB:
+    ``('0x' || substr(md5(t),1,8))::BIGINT`` — the oracle is exact, same
+    pattern as the MinHash band family). Bit votes accumulate in a single
+    array fold (zip_with over a 32-long vote vector), not 32 separate
+    aggregate passes: O(tokens) work per row instead of O(32*tokens)."""
+    name = col if isinstance(col, str) else None
+    expr = name if name is not None else None
+    if expr is None:
+        raise TypeError("simhash32 takes a column NAME (builds a SQL expression)")
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(regexp_extract_all({expr}, '\\\\S+', 0),
+                        t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
+              array_repeat(cast(0 as bigint), 32),
+              (acc, h) -> zip_with(acc, sequence(0, 31),
+                                   (a, i) -> a + ((h >> i) & 1) * 2 - 1)
+            ),
+            sequence(0, 31),
+            (v, i) -> if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))
+          ),
+          cast(0 as bigint), (a, b) -> a + b
         )
-
-    sig = F.lit(0).cast("long")
-    for i in range(32):
-        sig = sig + F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+        """
+    )
 
 
 def hamming32(a: Column, b: Column) -> Column:

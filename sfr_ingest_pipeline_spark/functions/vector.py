@@ -104,11 +104,20 @@ def srp_topk(
     k: int = 3,
     n_planes: int = 6,
     seed: int = 42,
+    hamming_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's SRP bucket.
 
-    Recall < 1 by construction; pytest asserts recall against brute force.
-    Scale path: one shuffle on bucket id instead of Q×N scoring."""
+    ``hamming_radius=1`` enables multi-probe: the query additionally probes
+    every bucket one bit-flip away (n_planes extra probes), trading
+    (n_planes+1)x candidate volume for recall — the standard multi-probe LSH
+    knob. The candidate set is then exactly {c : hamming(b(q), b(c)) <= 1},
+    which the DuckDB oracle mirrors with bit_count(xor(...)) <= 1.
+
+    Recall < 1 by construction; pytest asserts recall against brute force
+    and that radius 1 strictly dominates radius 0.
+    Scale path: one shuffle on bucket id instead of Q x N scoring; the
+    corpus side never replicates (probes explode the small query side)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -117,8 +126,16 @@ def srp_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
+        srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_qbucket"),
     )
+    if hamming_radius >= 1:
+        probes = F.array(
+            F.col("_qbucket"),
+            *[F.col("_qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("_qbucket"))
+    q = q.withColumn("_bucket", F.explode(probes)).drop("_qbucket")
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -311,19 +311,20 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_srp_ann_topk(spark, sf_dir):
-    """Approximate ANN (SRP-LSH buckets) — rows-only driver check; recall
-    vs brute force is asserted in tests/test_vector.py."""
+    """Approximate ANN (SRP-LSH buckets, multi-probe Hamming radius 1) —
+    hash-verified against a DuckDB twin whose seeded hyperplanes are inlined
+    as literal arrays; recall vs brute force asserted in tests/test_vector.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    top = V.srp_topk(emb, queries, dim=64, k=3, n_planes=4)
+    top = V.srp_topk(emb, queries, dim=64, k=3, n_planes=4, hamming_radius=1)
     return top.select(
         "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
     )
 
 
 def q_simhash_docs(spark, sf_dir):
-    """SimHash signatures — rows-only driver check (xxhash64 has no DuckDB
-    twin); semantics pinned by tests/test_dedup.py."""
+    """SimHash signatures over an md5-slice token-hash family — exact DuckDB
+    twin (same pattern as the MinHash bands)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash32("text").alias("simhash"))
 
@@ -410,6 +411,27 @@ def q_multi_source_union(spark, sf_dir):
     )
 
 
+def q_open_and_finished_custkeys(spark, sf_dir):
+    """U3 intersect: customers with BOTH an open and a finished order."""
+    orders = _t(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(fin_keys)
+
+
+def q_grouping_sets_order_stats(spark, sf_dir):
+    """A5 grouping sets: per-status, per-priority, and grand-total rollups in
+    one pass (finer control than rollup/cube — exactly the three sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
+    )
+
+
 def q_conversation_reconstruction(spark, sf_dir):
     """Ordered per-key payload assembly: the ES-manager analog that the
     reference builds per work before indexing (SURVEY.md §3.1 E3)."""
@@ -462,6 +484,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_year": q_orders_by_year,
     "multi_source_union": q_multi_source_union,
     "conversation_reconstruction": q_conversation_reconstruction,
+    "open_and_finished_custkeys": q_open_and_finished_custkeys,
+    "grouping_sets_order_stats": q_grouping_sets_order_stats,
 }
 
 
@@ -703,7 +727,72 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _srp_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 4,
+                    seed: int = 42) -> str:
+    """DuckDB twin of vector.srp_bucket: the seeded hyperplanes are inlined
+    as literal DOUBLE[] arrays (python float repr round-trips exactly, and
+    F.lit on the Spark side uses the same values)."""
+    from sfr_ingest_pipeline_spark.functions.vector import _srp_planes
+
+    planes = _srp_planes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 ORACLE_SQL.update({
+    # token hash = ('0x' || first 8 hex of md5)::BIGINT — identical to the
+    # Spark side's conv(substring(md5(t),1,8),16,10); one ±1 vote per (token,
+    # bit), signature bit set where the vote is positive; docs with no
+    # tokens get signature 0 on both sides
+    "simhash_docs": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(unnest(regexp_extract_all(text, '\S+'))), 1, 8))::BIGINT AS h
+            FROM documents
+        ), votes AS (
+            SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM tok CROSS JOIN range(32) r(i)
+            GROUP BY doc_id, i
+        ), sigs AS (
+            SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sigs s USING (doc_id)
+    """,
+    "srp_ann_topk": f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_srp_bucket_sql('embedding')} AS bkt
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[]))))
+                   AS cos_raw
+            FROM b q JOIN b c
+              ON bit_count(xor(q.bkt::BIGINT, c.bkt::BIGINT)) <= 1
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
     "cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS sum_totalprice
@@ -761,5 +850,17 @@ ORACLE_SQL.update({
                string_agg(event_type, '|' ORDER BY ts, event_id)
                    AS event_seq_str
         FROM events GROUP BY user_id
+    """,
+    "open_and_finished_custkeys": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "grouping_sets_order_stats": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_totalprice
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 })

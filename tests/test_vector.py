@@ -53,3 +53,29 @@ def test_srp_bucket_deterministic(spark):
     b = emb.select("vec_id", V.srp_bucket(F.col("embedding"), 64, 4).alias("b")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0 <= r["b"] < 16 for r in a)
+
+
+def test_srp_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (Hamming radius 1) candidates are a superset of the
+    single-probe bucket, so recall vs brute force can only improve — and on
+    this corpus it must strictly help the candidate volume."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.brute_force_topk(emb, q, k=3).collect()
+    }
+    r0 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.srp_topk(emb, q, dim=64, k=3, n_planes=3,
+                            hamming_radius=0).collect()
+    }
+    r1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.srp_topk(emb, q, dim=64, k=3, n_planes=3,
+                            hamming_radius=1).collect()
+    }
+    recall0 = len(exact & r0) / len(exact)
+    recall1 = len(exact & r1) / len(exact)
+    assert recall1 >= recall0, (recall0, recall1)
+    assert recall1 >= 0.5, f"multi-probe recall too low: {recall1}"
