@@ -53,7 +53,7 @@ def run_mode(spark, mode: str, n_batches: int, events_per_batch: int) -> list[di
         r = apply_batch(spark, root, df, i, config=cfg)
         dt = time.time() - t0
         table = TranscriptTable.load(root)
-        live = sum(f.rows for f in table.snapshot.files)
+        live = sum(f.rows for f in table.files)
         rows.append(
             {"batch": i, "sec": round(dt, 2), "table_rows": live,
              "applied": r.events_applied,

@@ -117,8 +117,8 @@ def cmd_history(args) -> int:
             "snapshot_id": snap.snapshot_id,
             "parent_id": snap.parent_id,
             "schema_id": snap.schema_id,
-            "files": len(snap.files),
-            "rows": sum(f.rows for f in snap.files),
+            "files": len(TranscriptTable(args.table, snap).files),
+            "rows": sum(f.rows for f in TranscriptTable(args.table, snap).files),
             "batch_id": props.get("batch_id"),
             "counters": props.get("counters"),
             "touched_buckets": sorted(props.get("lineage", {}).keys(), key=int)
@@ -158,8 +158,8 @@ def cmd_compact(args) -> int:
     )
     print(json.dumps({
         "snapshot_id": table.snapshot.snapshot_id,
-        "files": len(table.snapshot.files),
-        "rows": sum(f.rows for f in table.snapshot.files),
+        "files": len(table.files),
+        "rows": sum(f.rows for f in table.files),
         "sec": round(time.time() - t0, 2),
     }))
     return 0

@@ -89,6 +89,9 @@ class MergeResult:
     touched_buckets: list[int] = field(default_factory=list)
     snapshot_id: int | None = None
     elapsed_sec: float = 0.0
+    # conv_id-range file pruning telemetry (files inside touched buckets)
+    files_read: int = 0
+    files_pruned: int = 0
 
     def counters(self) -> dict:
         return {
@@ -182,16 +185,23 @@ def apply_batch(
          "_has_t": F.lit(False)}
     )
 
-    # ---- touched buckets (manifest pruning) --------------------------------
+    # ---- touched buckets + per-bucket conv_id ranges (manifest pruning) ----
     # NOTE the batch is deliberately NOT persisted across its two jobs
     # (bucket discovery, then the merge): caching deserialized rows measured
     # ~35% SLOWER than re-decoding the zstd parquet at local[8] — columnar
     # decode is cheaper than row-cache memory traffic
     obs_in = Observation(f"rows_in_{batch_id}_{uuid.uuid4().hex[:6]}")
     bucketed = batch_df.select(
-        bucket_expr(F.col("conv_id"), table.n_buckets).alias("_bucket")
+        bucket_expr(F.col("conv_id"), table.n_buckets).alias("_bucket"),
+        F.col("conv_id"),
     ).observe(obs_in, F.count(F.lit(1)).alias("n"))
-    touched = sorted(r["_bucket"] for r in bucketed.distinct().collect())
+    ranges = {
+        r["_bucket"]: (r["mn"], r["mx"])
+        for r in bucketed.groupBy("_bucket").agg(
+            F.min("conv_id").alias("mn"), F.max("conv_id").alias("mx")
+        ).collect()
+    }
+    touched = sorted(ranges)
     rows_in = int(obs_in.get["n"])
 
     if not touched:
@@ -206,8 +216,48 @@ def apply_batch(
             elapsed_sec=time.time() - t0,
         )
 
-    # ---- target side: pruned scan, ties go to the table (src_rank=1) ------
-    target = table.scan(spark, with_meta=True, buckets=set(touched))
+    # ---- write-mode decision (metadata only; needed before the scan) ------
+    # cow: every touched bucket fully rewritten (keep + upsert + tombstones).
+    # mor: only batch winners append as delta files; buckets with >=
+    #      compact_delta_files delta commits compact back to base this pass.
+    if config.merge_mode == "mor":
+        delta_counts = table.delta_file_counts(set(touched))
+        compact = {
+            b for b in touched
+            if delta_counts.get(b, 0) >= config.compact_delta_files
+        }
+        replace_buckets = compact
+    else:
+        compact = set(touched)
+        replace_buckets = set(touched)
+
+    # ---- target side: bucket- AND conv_id-range-pruned scan ----------------
+    # within a touched bucket, a file whose (conv_id_min, conv_id_max) range
+    # does not intersect the batch's range for that bucket contains NO batch
+    # key: it cannot change any winner or counter, so it is not read. If its
+    # bucket is being rewritten (CoW / compaction) the unread file is carried
+    # forward by reference — exact, because its conversations are disjoint
+    # from the rewrite's by the same range test. Compaction buckets skip
+    # pruning so the compacted base really is the whole bucket.
+    # (Pruning pays off when conv_ids cluster — e.g. time-prefixed ids with
+    # update-recent workloads, or MoR delta files from conv-localized
+    # batches; uniform-random batches touch every file and prune nothing.)
+    bucket_files = table.files_in_buckets(set(touched))
+    no_prune = compact if config.merge_mode == "mor" else set()
+    read_files, carried = [], []
+    for f in bucket_files:
+        mn, mx = ranges[f.bucket]
+        intersects = not (
+            (f.conv_id_max is not None and f.conv_id_max < mn)
+            or (f.conv_id_min is not None and f.conv_id_min > mx)
+        )
+        if f.bucket in no_prune or intersects:
+            read_files.append(f)
+        else:
+            carried.append(f)
+    carry_paths = {f.path for f in carried if f.bucket in replace_buckets}
+
+    target = table.scan(spark, with_meta=True, files=read_files)
     target = _null_fill(target, phys).select(*phys_cols).withColumns(
         {"_src_rank": F.lit(1), "_n_s": F.lit(0).cast("long"),
          "_has_t": F.lit(True)}
@@ -228,37 +278,27 @@ def apply_batch(
     obs_m = Observation(f"merge_{batch_id}_{uuid.uuid4().hex[:6]}")
     applied_flag = F.col("_src_rank") == 0
     conflict_flag = (F.col("_n_s") > 0) & (F.col("_src_rank") == 1)
-    resolved = resolved.observe(
-        obs_m,
+    counter_aggs = [
         F.sum(F.when(applied_flag, 1).otherwise(0)).alias("applied"),
         F.sum(F.when(conflict_flag, 1).otherwise(0)).alias("conflicts"),
         F.sum(F.greatest(F.col("_n_s") - 1, F.lit(0))).alias("dedup"),
-    )
+    ]
+    resolved_raw = resolved
+    resolved = resolved.observe(obs_m, *counter_aggs)
 
     out = resolved.withColumn(
         "_bucket", bucket_expr(F.col("conv_id"), table.n_buckets)
     )
 
-    # ---- choose write mode per bucket (CoW rewrite vs MoR delta append) ----
-    # cow: every touched bucket fully rewritten (keep + upsert + tombstones).
-    # mor: only batch winners (_src_rank == 0) appended as delta files;
-    #      buckets that have accumulated >= compact_delta_files deltas are
-    #      compacted back to a base file in the same pass. ONE write job
-    #      either way — the kind is per-bucket at harvest time.
+    # ---- apply the write mode (CoW rewrite vs MoR delta append) ------------
+    # mor: only batch winners (_src_rank == 0) are written for non-compact
+    # buckets; compact buckets keep every resolved row (full bucket state).
+    # ONE write job either way — the kind is per-bucket at harvest time.
     if config.merge_mode == "mor":
-        delta_counts = table.delta_file_counts(set(touched))
-        compact = {
-            b for b in touched
-            if delta_counts.get(b, 0) >= config.compact_delta_files
-        }
         keep_filter = F.col("_bucket").isin([int(b) for b in compact]) | (
             F.col("_src_rank") == 0
         )
         out = out.filter(keep_filter)
-        replace_buckets = compact
-    else:
-        compact = set(touched)
-        replace_buckets = set(touched)
 
     out = out.drop("_src_rank", "_n_s", "_has_t")
     if normalize and "text" in out.columns:
@@ -283,20 +323,31 @@ def apply_batch(
     )
     writable.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
 
-    applied = int(obs_m.get["applied"] or 0)
-    conflicts = int(obs_m.get["conflicts"] or 0)
-    dedup_dropped = int(obs_m.get["dedup"] or 0)
+    try:
+        metrics = obs_m.get
+    except Exception:
+        # When a MoR batch's entire output is empty (every batch row lost to
+        # the target), AQE replaces the empty write subtree and the
+        # CollectMetrics node never reports — Observation.get then fails on
+        # a schemaless row. Recompute the counters with a dedicated pass;
+        # this only ever runs for batches that changed nothing.
+        metrics = resolved_raw.agg(*counter_aggs).collect()[0].asDict()
+    applied = int(metrics["applied"] or 0)
+    conflicts = int(metrics["conflicts"] or 0)
+    dedup_dropped = int(metrics["dedup"] or 0)
 
     new_files = table.harvest_files(
         commit_rel,
         kind_for_bucket=lambda b: "base" if b in compact else "delta",
     )
-    lineage = _lineage(table, set(touched), replace_buckets, new_files)
+    lineage = _lineage(table, set(touched), replace_buckets, new_files,
+                       carry_paths)
     new_table = table.commit(
         replace_buckets,
         new_files,
         _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage),
         schema=logical if schema_changed else None,
+        carry_files=carry_paths,
     )
     return MergeResult(
         batch_id, committed=True, rows_in=rows_in,
@@ -304,6 +355,7 @@ def apply_batch(
         merge_conflicts=conflicts, touched_buckets=list(touched),
         snapshot_id=new_table.snapshot.snapshot_id,
         elapsed_sec=time.time() - t0,
+        files_read=len(read_files), files_pruned=len(carried),
     )
 
 
@@ -321,14 +373,20 @@ def _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage):
 
 
 def _lineage(
-    table: TranscriptTable, touched: set[int], replaced: set[int], new_files
+    table: TranscriptTable, touched: set[int], replaced: set[int], new_files,
+    carry_paths: set[str] | None = None,
 ) -> dict:
     """Per-partition (bucket) lineage: physical rows before/after + files
     written. For delta appends (bucket not replaced) rows_after counts the
-    carried-forward files plus the new delta rows."""
+    carried-forward files plus the new delta rows; range-pruned files
+    carried through a replace count into rows_after too."""
+    carry_paths = carry_paths or set()
     before: dict[int, int] = {}
+    carried_rows: dict[int, int] = {}
     for f in table.files_in_buckets(touched):
         before[f.bucket] = before.get(f.bucket, 0) + f.rows
+        if f.path in carry_paths:
+            carried_rows[f.bucket] = carried_rows.get(f.bucket, 0) + f.rows
     new_rows: dict[int, int] = {}
     files: dict[int, list[str]] = {}
     for f in new_files:
@@ -338,7 +396,7 @@ def _lineage(
         str(b): {
             "rows_before": before.get(b, 0),
             "rows_after": new_rows.get(b, 0)
-            + (0 if b in replaced else before.get(b, 0)),
+            + (carried_rows.get(b, 0) if b in replaced else before.get(b, 0)),
             "files": files.get(b, []),
         }
         for b in sorted(touched)

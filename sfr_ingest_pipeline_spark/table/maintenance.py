@@ -36,7 +36,7 @@ def compact(
     if buckets is None:
         buckets = set(table.delta_file_counts().keys())
         if expire_tombstones_older_than_us is not None:
-            buckets |= {f.bucket for f in table.snapshot.files}
+            buckets |= {f.bucket for f in table.files}
     if not buckets:
         return table
 
@@ -92,10 +92,13 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     keep_ids = set(range(max(1, current - keep_last + 1), current + 1))
 
     referenced: set[str] = set()
+    referenced_manifests: set[str] = set()
     kept, dropped_meta = 0, 0
     for snap in table.history():
         if snap.snapshot_id in keep_ids:
-            referenced |= {f.path for f in snap.files}
+            view = TranscriptTable(table_root, snap)
+            referenced |= {f.path for f in view.files}
+            referenced_manifests |= view.referenced_manifests()
             kept += 1
         else:
             os.remove(TranscriptTable._snap_path(table_root, snap.snapshot_id))
@@ -110,10 +113,19 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
             if rel not in referenced and fn.endswith(".parquet"):
                 os.remove(full)
                 dropped_files += 1
+    dropped_manifests = 0
+    mdir = os.path.join(table_root, "metadata", "manifests")
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            rel = "/".join(["metadata", "manifests", fn])
+            if fn.endswith(".json") and rel not in referenced_manifests:
+                os.remove(os.path.join(mdir, fn))
+                dropped_manifests += 1
     return {
         "kept_snapshots": kept,
         "dropped_snapshots": dropped_meta,
         "dropped_data_files": dropped_files,
+        "dropped_manifests": dropped_manifests,
     }
 
 

@@ -12,8 +12,8 @@ layer the north rule assumes is implemented here with the same core ideas:
   * data files are clustered into hash buckets on ``conv_id``
     (pmod(xxhash64(conv_id), n_buckets)); the manifest records per-file
     bucket + row count + conv_id min/max so MERGE prunes to touched buckets
-    and copy-on-write rewrites only those (untouched files are carried
-    forward by reference into the child snapshot);
+    (and, within them, to files whose conv_id range intersects the batch);
+    untouched files are carried forward by reference into the child snapshot;
   * time travel: load any retained snapshot by id or by batch-id.
 
 Physical row schema = logical transcript schema + ``event_seq`` (LWW minor
@@ -21,10 +21,16 @@ order of the winning write) + ``_deleted`` tombstone flag. Tombstones keep
 late-arriving older events from resurrecting deleted turns; logical scans
 filter them out.
 
-At 100 TB: the JSON manifest holds one small record per data file — with
-2^14 buckets × a few files each this is thousands of entries, fine for a
-driver-side JSON read per microbatch. A production variant would shard
-manifests (Iceberg manifest lists); the commit protocol here is the same.
+At 100 TB (Iceberg-style manifest list): per-file records live in SHARDED
+manifest files under ``metadata/manifests/`` — one manifest per commit
+holding the full file lists of only the buckets that commit touched; the
+snapshot JSON stores just a bucket -> manifest-path mapping (O(n_buckets)
+per commit, not O(total files)), and untouched buckets re-reference the
+parent's manifest. MERGE therefore reads O(touched buckets) manifest bytes
+per microbatch, and time travel binary-searches the snapshot log by batch id
+(batch ids are monotone in snapshot ids) in O(log n_commits) JSON reads.
+Snapshots written by the pre-sharding format (inline ``files`` list) still
+load.
 """
 
 from __future__ import annotations
@@ -62,7 +68,7 @@ class DataFileInfo:
     path: str            # relative to table root
     bucket: int
     rows: int
-    live_rows: int       # rows minus tombstones (best-effort, for lineage)
+    live_rows: int       # rows minus tombstones (exact, from footer read)
     conv_id_min: str | None = None
     conv_id_max: str | None = None
     # "base": full bucket state (copy-on-write output / compaction output);
@@ -79,13 +85,19 @@ class Snapshot:
     schema_id: int
     schema_json: dict
     n_buckets: int
-    files: list[DataFileInfo] = field(default_factory=list)
+    # bucket (str) -> manifest file path relative to the table root; each
+    # manifest JSON maps bucket -> [DataFileInfo dicts] for EVERY bucket the
+    # writing commit touched (one manifest per commit, shared across its
+    # buckets); untouched buckets keep the parent's manifest path
+    manifests: dict = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
     # natural key + LWW order persisted with the table so the merge-on-read
     # read path honors a non-default EngineConfig (they default for tables
     # created before this field existed)
     key_cols: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
     order_cols: list[str] = field(default_factory=lambda: ["ts", "event_seq"])
+    # pre-sharding snapshots stored the full file list inline; kept readable
+    legacy_files: list[DataFileInfo] | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -93,12 +105,17 @@ class Snapshot:
 
     def to_json(self) -> dict:
         d = asdict(self)
+        d.pop("legacy_files", None)
         return d
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
-        files = [DataFileInfo(**f) for f in d.pop("files")]
-        return Snapshot(files=files, **d)
+        d = dict(d)
+        legacy = None
+        if "files" in d:  # pre-sharding format
+            legacy = [DataFileInfo(**f) for f in d.pop("files")]
+        d.pop("legacy_files", None)
+        return Snapshot(legacy_files=legacy, **d)
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -125,6 +142,7 @@ class TranscriptTable:
     def __init__(self, root: str, snapshot: Snapshot):
         self.root = root
         self.snapshot = snapshot
+        self._manifest_cache: dict[str, dict[int, list[DataFileInfo]]] = {}
 
     # ------------------------------------------------------------------ io
     @property
@@ -145,7 +163,7 @@ class TranscriptTable:
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         order_cols: tuple[str, ...] = ("ts", "event_seq"),
     ) -> "TranscriptTable":
-        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metadata", "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         snap = Snapshot(
             snapshot_id=1,
@@ -154,7 +172,7 @@ class TranscriptTable:
             schema_id=0,
             schema_json=schema.jsonValue(),
             n_buckets=n_buckets,
-            files=[],
+            manifests={},
             properties=properties or {},
             key_cols=list(key_cols),
             order_cols=list(order_cols),
@@ -181,19 +199,40 @@ class TranscriptTable:
     def load_or_create(cls, root: str, **create_kwargs) -> "TranscriptTable":
         return cls.load(root) if cls.exists(root) else cls.create(root, **create_kwargs)
 
+    def _snapshot_ids_on_disk(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    out.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def load_snapshot_as_of_batch(self, batch_id: int) -> "TranscriptTable":
-        """Time travel: latest snapshot whose committed batch_id <= batch_id."""
-        sid = self.snapshot.snapshot_id
-        best = None
-        for i in range(1, sid + 1):
-            path = self._snap_path(self.root, i)
-            if not os.path.exists(path):
-                continue
-            with open(path, encoding="utf-8") as f:
+        """Time travel: latest snapshot whose committed batch_id <= batch_id.
+
+        Batch ids are monotone non-decreasing in snapshot ids (maintenance
+        commits carry the parent's marker forward), so this binary-searches
+        the snapshot log: O(log n_commits) JSON reads, not O(n_commits)."""
+
+        def _key(sid: int):
+            with open(self._snap_path(self.root, sid), encoding="utf-8") as f:
                 s = Snapshot.from_json(json.load(f))
             b = s.properties.get("batch_id")
-            if b is None or b <= batch_id:
+            return (-1 if b is None else b), s
+
+        ids = [i for i in self._snapshot_ids_on_disk()
+               if i <= self.snapshot.snapshot_id]
+        lo, hi, best = 0, len(ids) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            b, s = _key(ids[mid])
+            if b <= batch_id:
                 best = s
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best is None:
             raise ValueError(f"no snapshot at or before batch {batch_id}")
         return TranscriptTable(self.root, best)
@@ -211,18 +250,56 @@ class TranscriptTable:
     def last_batch_id(self) -> int | None:
         return self.snapshot.properties.get("batch_id")
 
-    def files_in_buckets(self, buckets: set[int] | None = None) -> list[DataFileInfo]:
-        if buckets is None:
-            return list(self.snapshot.files)
-        return [f for f in self.snapshot.files if f.bucket in buckets]
+    def _load_manifest(self, rel_path: str) -> dict[int, list[DataFileInfo]]:
+        cached = self._manifest_cache.get(rel_path)
+        if cached is None:
+            with open(os.path.join(self.root, rel_path), encoding="utf-8") as f:
+                raw = json.load(f)
+            cached = {
+                int(b): [DataFileInfo(**fd) for fd in fds] for b, fds in raw.items()
+            }
+            self._manifest_cache[rel_path] = cached
+        return cached
 
-    def history(self) -> list[Snapshot]:
+    def files_in_buckets(self, buckets: set[int] | None = None) -> list[DataFileInfo]:
+        """File entries for the given buckets (None = all). Reads only the
+        manifest files those buckets reference — O(touched) per microbatch."""
+        snap = self.snapshot
+        if snap.legacy_files is not None:
+            if buckets is None:
+                return list(snap.legacy_files)
+            return [f for f in snap.legacy_files if f.bucket in buckets]
+        wanted = (
+            sorted(int(b) for b in snap.manifests)
+            if buckets is None
+            else sorted(b for b in buckets if str(b) in snap.manifests)
+        )
+        out: list[DataFileInfo] = []
+        for b in wanted:
+            manifest = self._load_manifest(snap.manifests[str(b)])
+            out.extend(manifest.get(b, []))
+        return out
+
+    @property
+    def files(self) -> list[DataFileInfo]:
+        """Full file listing (loads every referenced manifest — use
+        ``files_in_buckets`` with a bucket set on hot paths)."""
+        return self.files_in_buckets(None)
+
+    def referenced_manifests(self) -> set[str]:
+        return set(self.snapshot.manifests.values())
+
+    def history(self, limit: int | None = None) -> list[Snapshot]:
+        """Snapshots oldest-first; ``limit`` returns only the newest N
+        without parsing the rest of the log."""
+        ids = [i for i in self._snapshot_ids_on_disk()
+               if i <= self.snapshot.snapshot_id]
+        if limit is not None:
+            ids = ids[-limit:]
         out = []
-        for i in range(1, self.snapshot.snapshot_id + 1):
-            path = self._snap_path(self.root, i)
-            if os.path.exists(path):
-                with open(path, encoding="utf-8") as f:
-                    out.append(Snapshot.from_json(json.load(f)))
+        for i in ids:
+            with open(self._snap_path(self.root, i), encoding="utf-8") as f:
+                out.append(Snapshot.from_json(json.load(f)))
         return out
 
     # ---------------------------------------------------------------- scan
@@ -241,8 +318,11 @@ class TranscriptTable:
         spark: SparkSession,
         with_meta: bool = False,
         buckets: set[int] | None = None,
+        files: list[DataFileInfo] | None = None,
     ) -> DataFrame:
-        """Read the table (optionally pruned to buckets) as a DataFrame.
+        """Read the table (optionally pruned to buckets, or to an explicit
+        file subset chosen by the caller, e.g. the conv_id-range pruning in
+        MERGE) as a DataFrame.
 
         Old data files written before a schema widening lack the new columns;
         reading with the snapshot's explicit physical schema null-fills them
@@ -252,10 +332,11 @@ class TranscriptTable:
         versions across base+deltas; ``with_meta=True`` returns the raw
         multi-version rows (the MERGE operator's fused aggregation resolves
         them along with the batch), while the logical scan LWW-reduces per
-        key by (ts, event_seq) and drops tombstones.
+        key by the snapshot's order columns and drops tombstones.
         """
         phys = physical_schema(self.schema)
-        files = self.files_in_buckets(buckets)
+        if files is None:
+            files = self.files_in_buckets(buckets)
         if not files:
             df = spark.createDataFrame([], phys)
         else:
@@ -322,12 +403,66 @@ class TranscriptTable:
         new_files: list[DataFileInfo],
         properties: dict,
         schema: T.StructType | None = None,
+        carry_files: set[str] | None = None,
     ) -> "TranscriptTable":
-        """Copy-on-write commit: replace all files of ``replace_buckets`` with
-        ``new_files``; carry every other file forward by reference. The
-        version-hint rename is the atomic commit point (SURVEY.md §4.3/§4.4)."""
+        """Commit a child snapshot.
+
+        * files of ``replace_buckets`` are replaced by the ``new_files``
+          targeting them — except paths named in ``carry_files``, which
+          survive the replace (the conv_id-range-pruned files MERGE never
+          read; their conversations are disjoint from the rewrite by
+          construction, so carrying them is exact);
+        * buckets NOT in ``replace_buckets`` keep all their files and gain
+          any ``new_files`` targeting them (merge-on-read delta appends);
+        * ONE manifest file is written holding the post-commit file lists of
+          every touched bucket; untouched buckets re-reference the parent's
+          manifests — the snapshot JSON stays O(n_buckets);
+        * the version-hint rename is the atomic commit point (SURVEY §4.3/4.4).
+        """
         cur = self.snapshot
-        kept = [f for f in cur.files if f.bucket not in replace_buckets]
+        carry = carry_files or set()
+        new_by_bucket: dict[int, list[DataFileInfo]] = {}
+        for f in new_files:
+            new_by_bucket.setdefault(f.bucket, []).append(f)
+        touched = set(replace_buckets) | set(new_by_bucket)
+
+        post: dict[int, list[DataFileInfo]] = {}
+        for b in touched:
+            old = self.files_in_buckets({b})
+            if b in replace_buckets:
+                keep = [f for f in old if f.path in carry]
+            else:
+                keep = old
+            post[b] = keep + new_by_bucket.get(b, [])
+
+        if cur.legacy_files is None:
+            manifests = dict(cur.manifests)
+        else:
+            # migrating a legacy snapshot: materialize untouched buckets into
+            # the new manifest too (one-time O(files) rewrite)
+            manifests = {}
+            for f in cur.legacy_files:
+                if f.bucket not in touched:
+                    post.setdefault(f.bucket, []).append(f)
+        if post:
+            mf_rel = "/".join([
+                "metadata", "manifests",
+                f"mf-{cur.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}.json",
+            ])
+            os.makedirs(os.path.join(self.root, "metadata", "manifests"), exist_ok=True)
+            _atomic_write_json(
+                os.path.join(self.root, mf_rel),
+                {str(b): [asdict(f) for f in fs] for b, fs in post.items()},
+            )
+            for b, fs in post.items():
+                if fs:
+                    manifests[str(b)] = mf_rel
+                else:
+                    manifests.pop(str(b), None)
+        else:
+            for b in touched:
+                manifests.pop(str(b), None)
+
         schema_json = (schema or self.schema).jsonValue()
         schema_id = cur.schema_id + (0 if schema_json == cur.schema_json else 1)
         snap = Snapshot(
@@ -337,7 +472,7 @@ class TranscriptTable:
             schema_id=schema_id,
             schema_json=schema_json,
             n_buckets=cur.n_buckets,
-            files=kept + new_files,
+            manifests=manifests,
             properties=properties,
             key_cols=list(cur.key_cols),
             order_cols=list(cur.order_cols),
@@ -355,7 +490,8 @@ class TranscriptTable:
     ) -> list[DataFileInfo]:
         """Collect DataFileInfo for files written under data/<commit_dir_rel>/
         (layout: _bucket=K/part-*.parquet from a partitionBy write). Reads
-        only parquet footers (row counts + conv_id min/max stats)."""
+        only parquet footers (row counts + conv_id min/max stats) plus the
+        bit-packed _deleted chunk for an exact tombstone count."""
         base = os.path.join(self.root, commit_dir_rel)
         out: list[DataFileInfo] = []
         for dirpath, _dirnames, filenames in os.walk(base):

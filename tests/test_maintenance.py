@@ -91,7 +91,7 @@ def test_verify_against_binlog(spark, tmp_path, binlog_basic, small_cfg):
 
     # corrupt the table: delete one data file's entry by committing a fake
     table = TranscriptTable.load(root)
-    victim = table.snapshot.files[0]
+    victim = table.files[0]
     table.commit({victim.bucket}, [], dict(table.snapshot.properties))
     report2 = verify_against_binlog(spark, root, binlog, config=small_cfg)
     assert not report2["ok"] and report2["missing_in_table"] > 0

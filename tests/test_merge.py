@@ -3,6 +3,7 @@ deletes, cross-batch late updates, conflicts, idempotent re-apply."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from sfr_ingest_pipeline_spark.oracle import LOGICAL_COLS, simulate_replay
 from sfr_ingest_pipeline_spark.operators.merge import apply_batch
@@ -111,7 +112,7 @@ def test_lineage_recorded(spark, tmp_path, segments_basic, small_cfg):
         assert info["files"], "each touched bucket lists its rewritten files"
     # manifest row counts agree with lineage
     per_bucket = {}
-    for f in snap.files:
+    for f in TranscriptTable.load(root).files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + f.rows
     for bucket, info in lineage.items():
         assert per_bucket[int(bucket)] == info["rows_after"]
@@ -134,3 +135,78 @@ def test_salt_invariant(spark, tmp_path, segments_basic, small_cfg, n_salt):
     pd.testing.assert_frame_equal(
         got[LOGICAL_COLS], sim.table[LOGICAL_COLS], check_dtype=False
     )
+
+
+def test_conv_range_file_pruning_cow(spark, tmp_path, small_cfg):
+    """A batch touching a disjoint conv_id range must not read (or rewrite)
+    files whose footer range excludes it — and the carried files' rows must
+    survive the copy-on-write replace exactly."""
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+
+    cfg = EngineConfig(n_buckets=1, n_salt=1, merge_mode="cow",
+                       shuffle_partitions=4)
+    root = str(tmp_path / "prune_cow")
+    TranscriptTable.create(root, n_buckets=1)
+
+    def _batch(prefix, n, seq0, ts0):
+        import datetime
+
+        rows = [
+            ("I", f"{prefix}-{i:04d}", 0, "user", f"text {prefix} {i}", None,
+             datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ts0 + i),
+             seq0 + i)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "op string, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp, event_seq long",
+        )
+
+    r0 = apply_batch(spark, root, _batch("aaaa", 40, 0, 0), 0, config=cfg)
+    assert r0.files_pruned == 0
+    # disjoint range: every file from batch 0 must be pruned, not rewritten
+    r1 = apply_batch(spark, root, _batch("bbbb", 40, 1000, 0), 1, config=cfg)
+    assert r1.files_pruned > 0, "no files pruned despite disjoint conv range"
+    assert r1.files_read == 0
+
+    table = TranscriptTable.load(root)
+    got = table.scan(spark)
+    assert got.count() == 80
+    assert got.filter(F.col("conv_id").startswith("aaaa")).count() == 40
+    # overlapping range: base files must be read again
+    r2 = apply_batch(spark, root, _batch("aaaa", 10, 2000, 120), 2, config=cfg)
+    assert r2.files_read > 0
+    got2 = TranscriptTable.load(root).scan(spark)
+    assert got2.count() == 80
+    assert got2.filter(F.col("text").startswith("text aaaa")).count() == 40
+
+
+def test_conv_range_file_pruning_mor_counters_exact(spark, tmp_path):
+    """Pruned files contain no batch key, so counters stay exact: a target
+    row beating the batch still counts as a conflict because ITS file
+    intersects the batch range."""
+    import datetime
+
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+
+    cfg = EngineConfig(n_buckets=1, n_salt=1, merge_mode="mor",
+                       compact_delta_files=100, shuffle_partitions=4)
+    root = str(tmp_path / "prune_mor")
+    TranscriptTable.create(root, n_buckets=1)
+    ts = datetime.datetime(2024, 1, 1)
+    schema = ("op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp, event_seq long")
+    b0 = spark.createDataFrame(
+        [("I", "aaaa-1", 0, "user", "old a", None, ts, 10),
+         ("I", "zzzz-1", 0, "user", "old z", None, ts, 11)], schema)
+    apply_batch(spark, root, b0, 0, config=cfg)
+    # batch 1: LOSES to the existing zzzz-1 row (older ts) -> conflict; the
+    # aaaa file is range-pruned (conv range zzzz only)
+    b1 = spark.createDataFrame(
+        [("U", "zzzz-1", 0, "user", "late loser", None,
+          ts - datetime.timedelta(seconds=5), 5)], schema)
+    r1 = apply_batch(spark, root, b1, 1, config=cfg)
+    assert r1.merge_conflicts == 1 and r1.events_applied == 0
+    got = TranscriptTable.load(root).scan(spark).orderBy("conv_id").collect()
+    assert [r["text"] for r in got] == ["old a", "old z"]

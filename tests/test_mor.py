@@ -59,7 +59,7 @@ def test_mor_appends_deltas_then_compacts(spark, tmp_path, segments_basic, mor_c
     kinds_by_snapshot = []
     for snap in table.history():
         kinds = {}
-        for f in snap.files:
+        for f in TranscriptTable(root, snap).files:
             kinds[f.kind] = kinds.get(f.kind, 0) + 1
         kinds_by_snapshot.append(kinds)
     # deltas must have appeared at some point
