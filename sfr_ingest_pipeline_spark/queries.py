@@ -20,13 +20,20 @@ Coverage map (SURVEY.md §2 refs in parens):
   Training-data ops: exact_dedup_docs, token_stats_by_lang, quality_scores,
                 lang_id_pred, doc_fingerprints, minhash_signatures,
                 embedding_norms, cosine_topk (brute force), srp_ann_topk
-                (approximate — rows-only check), simhash_docs (rows-only:
-                xxhash64 has no DuckDB twin)
+                (multi-probe SRP-LSH, planes inlined in the oracle),
+                simhash_docs (md5-slice hash family, exact oracle),
+                embedding_near_dups (LSH-bucketed cosine pairs),
+                weighted_quality_by_lang (GROUPED_AGG pandas UDF)
+  Round 2 adds: open_and_finished_custkeys (U3), grouping_sets_order_stats
+                (A5 grouping sets) — every query now has an exact DuckDB
+                twin (41/41 hash-verified)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -411,6 +418,61 @@ def q_multi_source_union(spark, sf_dir):
     )
 
 
+def q_weighted_quality_by_lang(spark, sf_dir):
+    """Grouped-agg pandas UDF (SURVEY §2.10 fallback surface, implemented as
+    a first-class demo): token-count-weighted mean quality score per lang,
+    computed in an Arrow-batched GROUPED_AGG UDF. The DuckDB twin is the
+    plain SQL sum(q*w)/sum(w)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(q: pd.Series, w: pd.Series) -> float:
+        tw = w.sum()
+        return float((q * w).sum() / tw) if tw else 0.0
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        TX.quality_score("text").alias("q"),
+        TX.token_count("text").cast("double").alias("w"),
+    )
+    return scored.groupBy("lang").agg(
+        F.round(weighted_mean("q", "w"), 4).alias("weighted_quality")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (task-brief dedup family):
+    SRP-bucketed candidates (Hamming radius 1 — same LSH as srp_ann_topk)
+    filtered by exact cosine >= 0.4. Never a cross join on the Spark side;
+    the oracle mirrors the bucket condition with bit_count(xor(...)) <= 1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        V.srp_bucket(F.col("embedding"), dim=64, n_planes=4).alias("_bkt"),
+    )
+    left = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
+        F.col("_bkt").alias("_ba"),
+    )
+    probes = F.array(
+        F.col("_bkt"), *[F.col("_bkt").bitwiseXOR(F.lit(1 << j)) for j in range(4)]
+    )
+    right = b.withColumn("_probe", F.explode(probes)).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
+        F.col("_probe"),
+    )
+    pairs = (
+        left.join(right, left._ba == right._probe)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", V.cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .filter(F.col("_cos") >= 0.4)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("_cos", 4).alias("cos_sim")
+    ).distinct()
+
+
 def q_open_and_finished_custkeys(spark, sf_dir):
     """U3 intersect: customers with BOTH an open and a finished order."""
     orders = _t(spark, sf_dir, "orders")
@@ -486,6 +548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversation_reconstruction": q_conversation_reconstruction,
     "open_and_finished_custkeys": q_open_and_finished_custkeys,
     "grouping_sets_order_stats": q_grouping_sets_order_stats,
+    "weighted_quality_by_lang": q_weighted_quality_by_lang,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 
@@ -862,5 +926,48 @@ ORACLE_SQL.update({
                round(avg(o_totalprice), 2) AS avg_totalprice
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "weighted_quality_by_lang": f"""
+        SELECT lang,
+               round(CASE WHEN sum(w) > 0 THEN sum(q * w) / sum(w)
+                          ELSE 0.0 END, 4) AS weighted_quality
+        FROM (
+            SELECT lang,
+                   ln(1.0 + n_tok) * 0.5 + (stop / greatest(n_tok, 1.0)) * 2.0
+                       - (punct / greatest(n_tok, 1.0)) AS q,
+                   n_tok AS w
+            FROM (
+                SELECT lang,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+                       CAST(len(regexp_extract_all(text, '{_STOP_RE}')) AS DOUBLE) AS stop,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct
+                FROM documents
+            )
+        ) GROUP BY lang
+    """,
+    "embedding_near_dups": f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_srp_bucket_sql('embedding')} AS bkt
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])))), 4)
+                   AS cos_sim
+        FROM b a JOIN b c
+          ON a.vec_id < c.vec_id
+         AND bit_count(xor(a.bkt::BIGINT, c.bkt::BIGINT)) <= 1
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[]))))
+              >= 0.4
     """,
 })
