@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "token_stats_by_lang",
     "cosine_topk",
     "normalized_documents",
+    "simhash_docs",
+    "srp_ann_topk",
+    "embedding_near_dups",
 ]
 
 

@@ -94,3 +94,40 @@ def test_merge_plan_no_cartesian_and_partial(spark, tmp_path, segments_basic, sm
     resolved = _merge_agg(src, ["conv_id", "turn_idx"], carry, ["ts", "event_seq"])
     assert not has_cartesian_product(resolved)
     assert has_partial_aggregate(resolved)
+
+
+def test_lsh_vector_queries_no_cartesian(spark):
+    """The LSH-bucketed vector paths must join on bucket id — a cartesian
+    (all-pairs) plan would be the classic similarity-search scale killer."""
+    from sfr_ingest_pipeline_spark.queries import (
+        q_embedding_near_dups,
+        q_srp_ann_topk,
+    )
+
+    assert not has_cartesian_product(q_embedding_near_dups(spark, SF))
+    near = q_srp_ann_topk(spark, SF)
+    assert not has_cartesian_product(near)
+    assert has_broadcast_join(near)  # small query side broadcast, corpus stays put
+
+
+def test_grouping_sets_single_exchange(spark):
+    """Expand + ONE shuffle computes all three grouping sets in a pass."""
+    from sfr_ingest_pipeline_spark.plans import explain_str
+    from sfr_ingest_pipeline_spark.queries import q_grouping_sets_order_stats
+
+    import re
+
+    plan = explain_str(q_grouping_sets_order_stats(spark, SF))
+    shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles <= 1, plan
+    assert "Expand" in plan
+
+
+def test_simhash_no_shuffle(spark):
+    """SimHash is a pure per-row projection: no exchange, no UDF."""
+    from sfr_ingest_pipeline_spark.plans import explain_str
+    from sfr_ingest_pipeline_spark.queries import q_simhash_docs
+
+    plan = explain_str(q_simhash_docs(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
