@@ -101,13 +101,16 @@ grows with it.
 Tail throughput (last 3 batches): cow {tail_avg(curves['cow']):,.0f} ev/s,
 mor {tail_avg(curves['mor']):,.0f} ev/s.
 
-Interpretation: CoW rewrites every touched bucket each batch, so its
-per-batch cost tracks live table size — at 10^10 events this is quadratic
-total work and a non-starter. MoR appends O(batch) winner rows, paying a
-bounded compaction every compact_delta_files batches; its per-batch cost
-stays ~flat (sawtooth at compaction batches). Both modes read touched-bucket
-data for exact per-batch counters; shrinking that read via manifest key-range
-pruning is the next lever.
+Interpretation (round 2, after per-file conv_id-range pruning): each batch
+here carries a DISJOINT conv_id range, so manifest range pruning lets even
+CoW skip every prior file — its per-batch cost is now ~flat instead of
+tracking live table size (round 1 measured 5 -> 18 s growth on the same
+workload before pruning). That models time-clustered id workloads
+(update-recent). Under keys that overlap the whole table CoW still rewrites
+every touched bucket -> cost tracks table size, quadratic total work at
+10^10 events; MoR appends O(batch) winner rows with bounded compaction every
+compact_delta_files batches (the sawtooth rows above) and stays O(batch)
+regardless of key overlap, so MoR remains the 10^10-scale default.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SUSTAINED.md"), "w") as f:
