@@ -149,6 +149,91 @@ def srp_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_rank: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``cell_rank`` nearest centroid cells by
+    cosine (ties broken by centroid id asc). Output: (id_col, vec_col,
+    _cell) — one row per (vector, probed cell).
+
+    Plan shape: centroids are tiny (K rows) -> broadcast nested-loop
+    replicates them to every vector partition; the argmax collapses via a
+    partial-aggregable ``max(struct(cos, -cid))`` (cell_rank=1, corpus path,
+    map-side combine, NO window shuffle over the corpus) or a window
+    (cell_rank>1, only ever used on the small query side)."""
+    cent = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "_cid",
+        cosine(F.col(vec_col), F.col("_cvec")).alias("_ccos"),
+    )
+    if cell_rank == 1:
+        # argmax without a window: max(struct) keeps the combine map-side
+        best = scored.groupBy(id_col).agg(
+            F.max(F.struct(F.col("_ccos"), (-F.col("_cid")).alias("_ncid"))).alias("_m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        return best.select(id_col, vec_col, (-F.col("_m._ncid")).alias("_cell"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_cid"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= cell_rank)
+        .select(id_col, vec_col, F.col("_cid").alias("_cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantizer ANN shape.
+
+    Each corpus vector lives in exactly one cell (nearest centroid); each
+    query probes its ``n_probes`` nearest cells and brute-forces only those
+    cells' members. Candidate volume is ~ N * n_probes / K instead of N per
+    query. Recall < 1 by construction (tested vs brute force).
+
+    Scale path: ONE shuffle of the corpus on _cell (in a real deployment the
+    assignment is precomputed/bucketed, so even that amortizes to zero);
+    queries-with-probes stay small and broadcast. Centroids here are caller-
+    supplied (deterministic — e.g. fixed ids or offline k-means), which keeps
+    the operator oracle-checkable; plugging in trained centroids changes
+    recall, not the plan."""
+    cells = assign_ivf_cells(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        "_cell",
+    )
+    probes = assign_ivf_cells(
+        queries, centroids, id_col, vec_col, cell_rank=n_probes
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_cell"
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_pandas(a, b) -> float:
     """Scalar python mirror for tests."""
     num = sum(x * y for x, y in zip(a, b))

@@ -25,8 +25,11 @@ Coverage map (SURVEY.md §2 refs in parens):
                 embedding_near_dups (LSH-bucketed cosine pairs),
                 weighted_quality_by_lang (GROUPED_AGG pandas UDF)
   Round 2 adds: open_and_finished_custkeys (U3), grouping_sets_order_stats
-                (A5 grouping sets) — every query now has an exact DuckDB
-                twin (41/41 hash-verified)
+                (A5 grouping sets), purchase_asof_view (J6 general as-of
+                join, DuckDB ASOF twin), fuzzy_part_pairs (J3
+                block-band-verify levenshtein join), ivf_ann_topk (IVF
+                coarse-quantizer ANN) — every query has an exact DuckDB
+                twin (44/44 hash-verified)
 """
 
 from __future__ import annotations
@@ -508,6 +511,60 @@ def q_conversation_reconstruction(spark, sf_dir):
     )
 
 
+def q_purchase_asof_view(spark, sf_dir):
+    """General as-of join (J6 generalized): every purchase event enriched
+    with the latest at-or-before 'view' event of the same user — one shuffle
+    on user_id via union + last(ignorenulls) window (operators/asof.py), no
+    range join. DuckDB twin uses its native ASOF LEFT JOIN."""
+    from sfr_ingest_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("ts_right").alias("last_view_ts"),
+        F.round("value_right", 4).alias("last_view_value"),
+    )
+
+
+def q_fuzzy_part_pairs(spark, sf_dir):
+    """Fuzzy match (J3): part-name pairs within edit distance 2, blocked on
+    brand + pruned by length band before the JVM-side levenshtein verify
+    (operators/fuzzy.py block-band-verify shape; never a raw cross join)."""
+    from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(
+        part, id_col="p_partkey", col="p_name", max_dist=2, block_on="p_brand"
+    )
+    return pairs.select(
+        "p_brand", "id_a", "id_b", "p_name_a", "p_name_b", "edit_dist"
+    )
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: corpus bucketed into nearest-centroid cells
+    (centroids = embeddings with vec_id < 8, deterministic so the DuckDB
+    twin can replicate them), queries probe their 2 nearest cells and
+    brute-force only those members (functions/vector.py ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = V.ivf_topk(emb, queries, centroids, k=3, n_probes=2)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
     "dedup_dropped_per_user": q_dedup_dropped_per_user,
@@ -550,6 +607,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_order_stats": q_grouping_sets_order_stats,
     "weighted_quality_by_lang": q_weighted_quality_by_lang,
     "embedding_near_dups": q_embedding_near_dups,
+    "purchase_asof_view": q_purchase_asof_view,
+    "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 
@@ -969,5 +1029,78 @@ ORACLE_SQL.update({
                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
                                          CAST(c.embedding AS DOUBLE[]))))
               >= 0.4
+    """,
+})
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine twin of functions.vector.cosine (sequential-fold dot)."""
+    return (
+        f"(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))))"
+    )
+
+
+ORACLE_SQL.update({
+    # DuckDB's native ASOF LEFT JOIN: inclusive (l.ts >= r.ts), exactly the
+    # tie semantics asof_join pins (right rows sort before left at equal ts)
+    "purchase_asof_view": """
+        SELECT p.event_id, p.user_id, p.ts,
+               round(p.value, 4) AS purchase_value,
+               v.ts AS last_view_ts,
+               round(v.value, 4) AS last_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    # block on brand, length band implied by the distance bound, verify with
+    # levenshtein — mirrors operators/fuzzy.py exactly
+    "fuzzy_part_pairs": """
+        SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS p_name_a, b.p_name AS p_name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # IVF: centroids = vec_id < 8; every vector assigned to its nearest
+    # centroid cell (argmax cosine, ties -> lowest centroid id, identical to
+    # the Spark max(struct(cos, -cid)) reduction); queries probe their 2
+    # nearest cells and rank candidates within
+    "ivf_ann_topk": f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ), ascore AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   {_cos_sql('e.embedding', 'c.cvec')} AS ccos
+            FROM embeddings e CROSS JOIN cent c
+        ), cells AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM ascore) WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, embedding AS qvec, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM ascore WHERE vec_id < 5) WHERE rn <= 2
+        ), scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   {_cos_sql('p.qvec', 'c.embedding')} AS cos_raw
+            FROM probes p JOIN cells c ON p.cell = c.cell
+            WHERE c.vec_id != p.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
     """,
 })

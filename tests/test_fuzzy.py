@@ -1,0 +1,69 @@
+"""fuzzy_join / fuzzy_self_pairs: block-band-verify edit-distance matching,
+pinned against a brute-force python levenshtein."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_join, fuzzy_self_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_basic_pairs(spark):
+    left = spark.createDataFrame(
+        [("x", 1, "kitten"), ("x", 2, "mitten"), ("y", 3, "kitten")],
+        ["blk", "id", "s"],
+    )
+    right = spark.createDataFrame(
+        [("x", 10, "sitting"), ("x", 11, "mitten"), ("y", 12, "mitten")],
+        ["blk", "rid", "r"],
+    )
+    out = fuzzy_join(left, right, "s", max_dist=3, block_on="blk",
+                     right_col="r").collect()
+    got = {(r.id, r.rid): r.edit_dist for r in out}
+    assert got[(1, 10)] == 3          # kitten -> sitting
+    assert got[(1, 11)] == 1          # kitten -> mitten
+    assert got[(2, 11)] == 0
+    # (3, 11) blocked apart despite distance 1: blocking is an equi-key
+    assert (3, 11) not in got
+    assert got[(3, 12)] == 1
+
+
+def test_matches_bruteforce_within_blocks(spark):
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    rows = [
+        (rng.randrange(3), i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 9))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["blk", "id", "s"])
+    out = fuzzy_self_pairs(df, id_col="id", col="s", max_dist=2, block_on="blk")
+    got = {(r.id_a, r.id_b, r.edit_dist) for r in out.collect()}
+    expected = set()
+    for b1, i1, s1 in rows:
+        for b2, i2, s2 in rows:
+            if b1 == b2 and i1 < i2:
+                d = _lev(s1, s2)
+                if d <= 2:
+                    expected.add((i1, i2, d))
+    assert got == expected
+
+
+def test_no_cartesian(spark):
+    df = spark.range(10).selectExpr(
+        "id % 3 AS blk", "id", "concat('s', id) AS s"
+    )
+    pairs = fuzzy_self_pairs(df, id_col="id", col="s", max_dist=1, block_on="blk")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan

@@ -131,3 +131,26 @@ def test_simhash_no_shuffle(spark):
     plan = explain_str(q_simhash_docs(spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_ann_plan_shape(spark):
+    """IVF: the only loop join is against the broadcast 8-row centroid set
+    (assignment); candidate scoring must be a hash join on _cell, and no
+    true cartesian anywhere."""
+    from sfr_ingest_pipeline_spark.plans import explain_str
+    from sfr_ingest_pipeline_spark.queries import q_ivf_ann_topk
+
+    plan = explain_str(q_ivf_ann_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # probes joined to cells by key
+    assert "SortMergeJoin" not in plan          # corpus never shuffles to join
+
+
+def test_fuzzy_join_jvm_side(spark):
+    """Fuzzy verify stage stays in codegen: no Python eval in the plan."""
+    from sfr_ingest_pipeline_spark.plans import explain_str
+    from sfr_ingest_pipeline_spark.queries import q_fuzzy_part_pairs
+
+    plan = explain_str(q_fuzzy_part_pairs(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -79,3 +79,52 @@ def test_srp_multiprobe_recall_dominates_single_probe(spark):
     recall1 = len(exact & r1) / len(exact)
     assert recall1 >= recall0, (recall0, recall1)
     assert recall1 >= 0.5, f"multi-probe recall too low: {recall1}"
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """Every vector lands in exactly one cell; cells are centroid ids."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 8)
+    cells = V.assign_ivf_cells(emb, cent)
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    cell_ids = {r["_cell"] for r in cells.select("_cell").distinct().collect()}
+    assert cell_ids <= set(range(8))
+
+
+def test_ivf_recall_and_probe_monotonicity(spark):
+    """IVF is approximate; recall must be usable and must not DECREASE with
+    more probes (a strict superset of candidates is scored)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    cent = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.brute_force_topk(emb, q, k=3).collect()
+    }
+    def recall(n_probes):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in V.ivf_topk(emb, q, cent, k=3, n_probes=n_probes).collect()
+        }
+        return len(exact & approx) / len(exact)
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    assert r1 <= r2 <= r8, (r1, r2, r8)
+    assert r8 == 1.0, f"probing ALL cells must be exact, got {r8}"
+    assert r2 >= 0.2, f"IVF recall collapsed: {r2}"
+
+
+def test_ivf_scores_match_bruteforce_cosine(spark):
+    """Approximation only drops candidates; returned scores are exact."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cent = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in V.brute_force_topk(emb, q, k=500).collect()
+    }
+    for r in V.ivf_topk(emb, q, cent, k=3, n_probes=2).collect():
+        assert math.isclose(
+            r["cos_sim"], exact[(r["query_id"], r["neighbor_id"])], rel_tol=1e-12
+        )
