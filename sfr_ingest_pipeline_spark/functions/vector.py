@@ -42,6 +42,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with per-row norms precomputed BEFORE a pairwise join.
+
+    Bit-identical to ``cosine`` (same values, same fold, same operation
+    order: dot / (norm_a * norm_b)) but evaluates ONE higher-order fold per
+    pair instead of three — Spark interprets HOF lambdas rather than
+    codegen-ing them, so on an M-pair candidate join this measures ~3x
+    cheaper. (An unrolled 64-term codegen expression chain was also
+    measured: 4x SLOWER than the fold — the giant tree defeats codegen —
+    so the fold + prenorm is the kept design.) Precompute each side's norm
+    once per ROW (O(N+M)), never per pair."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,10 +68,14 @@ def brute_force_topk(
     Cross join with the QUERY side broadcast (queries << corpus at scale);
     rank per query by (cosine desc, neighbor id) for determinism."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -65,7 +83,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -121,11 +141,13 @@ def srp_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
         srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
         srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_qbucket"),
     )
     if hamming_radius >= 1:
@@ -142,7 +164,9 @@ def srp_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -158,7 +182,8 @@ def assign_ivf_cells(
 ) -> DataFrame:
     """Assign each vector to its ``cell_rank`` nearest centroid cells by
     cosine (ties broken by centroid id asc). Output: (id_col, vec_col,
-    _cell) — one row per (vector, probed cell).
+    _norm, _cell) — one row per (vector, probed cell); _norm is the row's
+    precomputed L2 norm so downstream scoring pays one fold per pair.
 
     Plan shape: centroids are tiny (K rows) -> broadcast nested-loop
     replicates them to every vector partition; the argmax collapses via a
@@ -166,26 +191,35 @@ def assign_ivf_cells(
     map-side combine, NO window shuffle over the corpus) or a window
     (cell_rank>1, only ever used on the small query side)."""
     cent = centroids.select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_centvec"),
+        l2_norm(F.col(vec_col)).alias("_centnorm"),
     )
-    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
+    vecs = vectors.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_norm")
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
         id_col,
         vec_col,
+        "_norm",
         "_cid",
-        cosine(F.col(vec_col), F.col("_cvec")).alias("_ccos"),
+        cosine_prenormed(
+            F.col(vec_col), F.col("_centvec"), F.col("_norm"), F.col("_centnorm")
+        ).alias("_ccos"),
     )
     if cell_rank == 1:
         # argmax without a window: max(struct) keeps the combine map-side
         best = scored.groupBy(id_col).agg(
             F.max(F.struct(F.col("_ccos"), (-F.col("_cid")).alias("_ncid"))).alias("_m"),
             F.first(vec_col).alias(vec_col),
+            F.first("_norm").alias("_norm"),
         )
-        return best.select(id_col, vec_col, (-F.col("_m._ncid")).alias("_cell"))
+        return best.select(id_col, vec_col, "_norm", (-F.col("_m._ncid")).alias("_cell"))
     w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_cid"))
     return (
         scored.withColumn("_crank", F.row_number().over(w))
         .filter(F.col("_crank") <= cell_rank)
-        .select(id_col, vec_col, F.col("_cid").alias("_cell"))
+        .select(id_col, vec_col, "_norm", F.col("_cid").alias("_cell"))
     )
 
 
@@ -214,12 +248,16 @@ def ivf_topk(
     cells = assign_ivf_cells(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        F.col("_norm").alias("_cnorm"),
         "_cell",
     )
     probes = assign_ivf_cells(
         queries, centroids, id_col, vec_col, cell_rank=n_probes
     ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "_cell"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+        "_cell",
     )
     scored = (
         cells.join(F.broadcast(probes), "_cell")
@@ -227,7 +265,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

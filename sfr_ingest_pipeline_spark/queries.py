@@ -452,23 +452,29 @@ def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id", "embedding",
+        V.l2_norm(F.col("embedding")).alias("_norm"),
         V.srp_bucket(F.col("embedding"), dim=64, n_planes=4).alias("_bkt"),
     )
     left = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
-        F.col("_bkt").alias("_ba"),
+        F.col("_norm").alias("_na"), F.col("_bkt").alias("_ba"),
     )
     probes = F.array(
         F.col("_bkt"), *[F.col("_bkt").bitwiseXOR(F.lit(1 << j)) for j in range(4)]
     )
     right = b.withColumn("_probe", F.explode(probes)).select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
-        F.col("_probe"),
+        F.col("_norm").alias("_nb"), F.col("_probe"),
     )
     pairs = (
         left.join(right, left._ba == right._probe)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", V.cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .select(
+            "id_a", "id_b",
+            V.cosine_prenormed(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("_cos"),
+        )
         .filter(F.col("_cos") >= 0.4)
     )
     return pairs.select(
