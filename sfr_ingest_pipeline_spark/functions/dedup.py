@@ -188,3 +188,50 @@ def simhash32(col: Column | str) -> Column:
 
 def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ALL pairs whose 32-bit simhash differs by <= ``max_hamming`` bits
+    (requires max_hamming <= 3) — exact result, banded plan.
+
+    Pigeonhole: 32 bits split into 4 disjoint bytes; <= 3 differing bits
+    means at least one byte is IDENTICAL, so an equi-join on (byte_index,
+    byte_value) generates a candidate superset, and the bit_count verify
+    makes the result exactly the brute-force pair set (the DuckDB oracle
+    computes it brute-force — the match proves banding loses nothing).
+    Scale: one shuffle on the band key instead of an all-pairs join; band
+    buckets are 256-ary so hot buckets stay bounded for text corpora with
+    diverse token sets."""
+    assert max_hamming <= 3, "4-byte banding is only lossless up to hamming 3"
+    s = df.select(F.col(id_col), simhash32(text_col).alias("_sh"))
+    banded = s.select(
+        id_col,
+        "_sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("_sh"), 8 * i).bitwiseAND(F.lit(255))
+                for i in range(4)
+            ])
+        ).alias("_band", "_key"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"), "_band", "_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"), "_band", "_key"
+    )
+    return (
+        left.join(right, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            hamming32(F.col("_sha"), F.col("_shb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -28,8 +28,11 @@ Coverage map (SURVEY.md §2 refs in parens):
                 (A5 grouping sets), purchase_asof_view (J6 general as-of
                 join, DuckDB ASOF twin), fuzzy_part_pairs (J3
                 block-band-verify levenshtein join), ivf_ann_topk (IVF
-                coarse-quantizer ANN) — every query has an exact DuckDB
-                twin (44/44 hash-verified)
+                coarse-quantizer ANN), minhash_lsh_dedup_pairs (full
+                shingle->band->bucket-join->Jaccard-verify pipeline),
+                simhash_near_dup_pairs (pigeonhole-banded hamming<=3,
+                brute-force oracle proves banding lossless) — every query
+                has an exact DuckDB twin (46/46 hash-verified)
 """
 
 from __future__ import annotations
@@ -571,6 +574,38 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_minhash_lsh_dedup_pairs(spark, sf_dir):
+    """The FULL MinHash+LSH dedup pipeline as one query (task-brief dedup
+    family): shingle -> md5-slice band minima -> band-bucket equi-join with
+    hot-bucket guard (functions/dedup.py lsh_candidate_pairs) -> exact
+    n-gram-Jaccard verification >= 0.5. The DuckDB twin mirrors every stage
+    byte-for-byte (same md5 slices, same bucket cap)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4, k=5)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            D.ngram_jaccard(F.col("_ta"), F.col("_tb"), 5).alias("_j"),
+        )
+    )
+    return scored.filter(F.col("_j") >= 0.5).select(
+        "id_a", "id_b", F.round("_j", 4).alias("jaccard")
+    )
+
+
+def q_simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming <= 3 via 4-byte pigeonhole banding
+    (functions/dedup.py simhash_near_dup_pairs). The oracle computes the
+    pair set BRUTE-FORCE — the hash match proves the banded plan is lossless,
+    not merely self-consistent."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest_event_per_user": q_lww_latest_event_per_user,
     "dedup_dropped_per_user": q_dedup_dropped_per_user,
@@ -616,6 +651,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_asof_view": q_purchase_asof_view,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "minhash_lsh_dedup_pairs": q_minhash_lsh_dedup_pairs,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
 }
 
 
@@ -1108,5 +1145,90 @@ ORACLE_SQL.update({
         SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """,
+})
+
+
+def _lsh_band_sig_sql(b: int) -> str:
+    """DuckDB twin of dedup.minhash_signature over a precomputed _md5s list."""
+    return f"list_min(list_transform(_md5s, h -> substr(h, {1 + 8 * b}, 8)))"
+
+
+_LSH_BAND_PAIRS_SQL = " UNION ALL ".join(
+    f"""
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM sigs a
+    JOIN (SELECT sig_{b} FROM sigs GROUP BY sig_{b}
+          HAVING count(*) > 1 AND count(*) <= 256) ok ON a.sig_{b} = ok.sig_{b}
+    JOIN sigs c ON a.sig_{b} = c.sig_{b} AND a.doc_id < c.doc_id"""
+    for b in range(4)
+)
+
+ORACLE_SQL.update({
+    # stage-exact twin of lsh_candidate_pairs + ngram_jaccard: same sha256
+    # exact-group collapse, same md5-slice band minima, same (1, 256] bucket
+    # cap, same distinct-shingle Jaccard
+    "minhash_lsh_dedup_pairs": f"""
+        WITH base AS (
+            SELECT doc_id, text, sha256(text) AS _sha FROM documents
+        ), grp AS (
+            SELECT _sha, min(doc_id) AS _canon, min(text) AS _text
+            FROM base GROUP BY _sha
+        ), exact_pairs AS (
+            SELECT g._canon AS id_a, b.doc_id AS id_b
+            FROM base b JOIN grp g USING (_sha) WHERE b.doc_id != g._canon
+        ), reps AS (
+            SELECT _canon AS doc_id,
+                   list_transform(range(1, greatest(length(_text)-4,1)+1),
+                                  i -> md5(substr(_text, i, 5))) AS _md5s
+            FROM grp
+        ), sigs AS (
+            SELECT doc_id, {_lsh_band_sig_sql(0)} AS sig_0,
+                   {_lsh_band_sig_sql(1)} AS sig_1,
+                   {_lsh_band_sig_sql(2)} AS sig_2,
+                   {_lsh_band_sig_sql(3)} AS sig_3
+            FROM reps
+        ), band_pairs AS ({_LSH_BAND_PAIRS_SQL}
+        ), cand AS (
+            SELECT DISTINCT id_a, id_b FROM (
+                SELECT * FROM exact_pairs UNION ALL SELECT * FROM band_pairs)
+        ), shingle_sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(length(text)-4,1)+1),
+                       i -> substr(text, i, 5))) AS sh
+            FROM documents
+        )
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                            AS DOUBLE), 4) AS jaccard
+        FROM cand JOIN shingle_sets sa ON cand.id_a = sa.doc_id
+                  JOIN shingle_sets sb ON cand.id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+              >= 0.5
+    """,
+    # BRUTE-FORCE pair set (no banding): hash equality proves the Spark
+    # side's 4-byte pigeonhole banding is lossless for hamming <= 3
+    "simhash_near_dup_pairs": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(unnest(regexp_extract_all(text, '\S+'))), 1, 8))::BIGINT AS h
+            FROM documents
+        ), votes AS (
+            SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM tok CROSS JOIN range(32) r(i) GROUP BY doc_id, i
+        ), sigs AS (
+            SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+            FROM votes GROUP BY doc_id
+        ), s AS (
+            SELECT d.doc_id, coalesce(g.sh, 0) AS sh
+            FROM documents d LEFT JOIN sigs g USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
 })

@@ -102,3 +102,38 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     pairs = D.lsh_candidate_pairs(df, "doc_id", "text", max_bucket_size=1).collect()
     pset = {(r["id_a"], r["id_b"]) for r in pairs}
     assert pset == {(1, 2)}             # only the exact pair survives
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce(spark):
+    """Banded plan == brute-force pair set (lossless pigeonhole)."""
+    from sfr_ingest_pipeline_spark.functions.dedup import (
+        hamming32,
+        simhash32,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    s = docs.select("doc_id", simhash32("text").alias("sh"))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming32(F.col("sa"), F.col("sb")).alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_lsh_dedup_query_pairs_are_verified_near_dups(spark):
+    """Every surviving pair really is >= 0.5 Jaccard; survivors exist."""
+    from sfr_ingest_pipeline_spark.queries import q_minhash_lsh_dedup_pairs
+
+    rows = q_minhash_lsh_dedup_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.jaccard >= 0.5 for r in rows)

@@ -154,3 +154,14 @@ def test_fuzzy_join_jvm_side(spark):
     plan = explain_str(q_fuzzy_part_pairs(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_pair_queries_no_cartesian(spark):
+    """Both near-dup pipelines must join on band keys, never all-pairs."""
+    from sfr_ingest_pipeline_spark.queries import (
+        q_minhash_lsh_dedup_pairs,
+        q_simhash_near_dup_pairs,
+    )
+
+    assert not has_cartesian_product(q_minhash_lsh_dedup_pairs(spark, SF))
+    assert not has_cartesian_product(q_simhash_near_dup_pairs(spark, SF))
