@@ -280,3 +280,58 @@ def cosine_pandas(a, b) -> float:
     da = math.sqrt(sum(x * x for x in a))
     db = math.sqrt(sum(y * y for y in b))
     return num / (da * db)
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) for IVF coarse quantizers.
+
+    Init = the k lowest-id vectors (deterministic, replay-stable — F8
+    discipline). Each iteration: assign every vector to its max-cosine
+    centroid (same broadcast + map-side argmax as assign_ivf_cells), then
+    recompute each cell's centroid as the element-wise mean via ONE groupBy
+    with dim avg() aggregates (map-side combine; no posexplode shuffle of
+    N*dim rows). Centroids come back to the driver between iterations —
+    O(k*dim) floats, metadata-scale — so the plan never deepens with iters;
+    empty cells keep their previous centroid.
+
+    Offline use at 100 TB: train on a sample (vectors.sample(...)), then
+    assign the full corpus once with assign_ivf_cells. Returns a DataFrame
+    (id_col, vec_col) shaped like any other centroid set for ivf_topk.
+    """
+    spark = vectors.sparkSession
+    current = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in vectors.select(id_col, vec_col)
+        .orderBy(F.asc(id_col)).limit(k).collect()
+    ]
+    base = vectors.select(id_col, vec_col)
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(i, vec) for i, (_, vec) in enumerate(current)],
+            f"{id_col} long, {vec_col} array<float>",
+        )
+        cells = assign_ivf_cells(base, cent_df, id_col, vec_col)
+        means = cells.groupBy("_cell").agg(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_m{i}")
+                for i in range(dim)
+            ]
+        )
+        got = {
+            int(r["_cell"]): [float(r[f"_m{i}"]) for i in range(dim)]
+            for r in means.collect()
+        }
+        current = [
+            (cid, got.get(cid, vec)) for cid, (_, vec) in enumerate(current)
+        ]
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in current],
+        f"{id_col} long, {vec_col} array<float>",
+    )

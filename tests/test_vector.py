@@ -128,3 +128,54 @@ def test_ivf_scores_match_bruteforce_cosine(spark):
         assert math.isclose(
             r["cos_sim"], exact[(r["query_id"], r["neighbor_id"])], rel_tol=1e-12
         )
+
+
+def test_kmeans_centroids_improve_objective_and_recall(spark):
+    """Lloyd iterations must not worsen the spherical k-means objective
+    (mean best-cosine to a centroid), and trained centroids must not lose
+    recall vs the naive first-k init."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def objective(cent_df):
+        c = cent_df.select(
+            F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cv")
+        )
+        best = (
+            emb.crossJoin(F.broadcast(c))
+            .select(
+                "vec_id",
+                V.cosine(F.col("embedding"), F.col("_cv")).alias("cs"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("cs").alias("best"))
+            .agg(F.avg("best").alias("o"))
+            .collect()[0]["o"]
+        )
+        return best
+
+    naive = emb.filter(F.col("vec_id") < 8)
+    trained1 = V.train_ivf_centroids(emb, k=8, iters=1)
+    trained4 = V.train_ivf_centroids(emb, k=8, iters=4)
+    o0, o1, o4 = objective(naive), objective(trained1), objective(trained4)
+    assert o1 >= o0 - 1e-9, (o0, o1)
+    assert o4 >= o1 - 1e-9, (o1, o4)
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.brute_force_topk(emb, q, k=3).collect()
+    }
+    def recall(cent):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in V.ivf_topk(emb, q, cent, k=3, n_probes=2).collect()
+        }
+        return len(exact & approx) / len(exact)
+    assert recall(trained4) >= recall(naive) - 0.1
+
+
+def test_kmeans_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = V.train_ivf_centroids(emb, k=4, iters=2).collect()
+    b = V.train_ivf_centroids(emb, k=4, iters=2).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
