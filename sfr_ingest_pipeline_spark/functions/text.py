@@ -85,3 +85,20 @@ def fingerprint(col: Column | str) -> Column:
     insensitive)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", ""))
+
+
+# GPT-2-style pre-tokenizer regex (public pattern), minus the \s+(?!\S)
+# lookahead — RE2 (DuckDB) has no lookahead, and dropping it only changes
+# how trailing whitespace groups, identically on both engines. Counts are
+# verified byte-equal between Spark (Java regex) and DuckDB (RE2).
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: the GPT-2 pre-tokenization segmentation (letters
+    / digits / punctuation runs with leading-space affinity + English
+    contractions). A training-data cost proxy that tracks real BPE token
+    counts far closer than whitespace splitting, while staying a pure
+    codegen regex — no vocab, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))

@@ -574,6 +574,27 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """Token-cost accounting with a BPE-ish tokenizer (task brief: token
+    counting = whitespace + a BPE-ish regex). Per language: document count,
+    whitespace tokens, GPT-2-style pre-tokens, and their mean ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        TX.token_count("text").alias("_ws"),
+        TX.bpe_token_count("text").alias("_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ws").alias("ws_tokens"),
+        F.sum("_bpe").alias("bpe_tokens"),
+        F.round(
+            F.avg(F.col("_bpe").cast("double") /
+                  F.greatest(F.col("_ws").cast("double"), F.lit(1.0))), 4
+        ).alias("avg_bpe_per_ws"),
+    )
+
+
 def q_minhash_lsh_dedup_pairs(spark, sf_dir):
     """The FULL MinHash+LSH dedup pipeline as one query (task-brief dedup
     family): shingle -> md5-slice band minima -> band-bucket equi-join with
@@ -653,6 +674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "minhash_lsh_dedup_pairs": q_minhash_lsh_dedup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+    "bpe_token_stats": q_bpe_token_stats,
 }
 
 
@@ -1230,5 +1252,28 @@ ORACLE_SQL.update({
                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+})
+
+
+ORACLE_SQL.update({
+    # same regexes verbatim; RE2 and Java agree on this pattern (asserted by
+    # the hash compare; \s+(?!\S) lookahead deliberately excluded — RE2 has
+    # no lookahead)
+    "bpe_token_stats": r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '\S+')) AS ws,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS bpe
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               round(avg(CAST(bpe AS DOUBLE) / greatest(CAST(ws AS DOUBLE), 1.0)), 4)
+                   AS avg_bpe_per_ws
+        FROM per_doc GROUP BY lang
     """,
 })
