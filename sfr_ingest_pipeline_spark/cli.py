@@ -182,6 +182,35 @@ def cmd_verify(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_query(args) -> int:
+    """Run any named analytic query from the driver surface over a parquet
+    table directory (``--sf-dir``); ``--list`` prints the inventory. Rows go
+    to stdout as JSON lines — the full queries() catalog is usable from the
+    spark-submit surface, not only from python."""
+    from sfr_ingest_pipeline_spark.queries import QUERIES
+
+    if args.list or not args.name:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(json.dumps({"error": f"unknown query {args.name!r}"}), file=sys.stderr)
+        return 2
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.limit:
+        df = df.limit(args.limit)
+    rows = df.collect()
+    for row in rows:
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()},
+                         ensure_ascii=False))
+    print(json.dumps({"query": args.name, "rows": len(rows),
+                      "sec": round(time.time() - t0, 2)}), file=sys.stderr)
+    return 0
+
+
 def cmd_materialize(args) -> int:
     from sfr_ingest_pipeline_spark.streaming.materialize import (
         materialize_conversations,
@@ -257,6 +286,14 @@ def main(argv: list[str] | None = None) -> int:
     mz.add_argument("--out", required=True)
     _add_spark_args(mz)
     mz.set_defaults(fn=cmd_materialize)
+
+    q = sub.add_parser("query", help="run a named analytic query (JSON lines)")
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=0)
+    q.add_argument("--list", action="store_true")
+    _add_spark_args(q)
+    q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("verify", help="diff table vs independent binlog reduce")
     v.add_argument("--table", required=True)

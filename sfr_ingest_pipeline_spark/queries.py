@@ -32,7 +32,8 @@ Coverage map (SURVEY.md §2 refs in parens):
                 shingle->band->bucket-join->Jaccard-verify pipeline),
                 simhash_near_dup_pairs (pigeonhole-banded hamming<=3,
                 brute-force oracle proves banding lossless) — every query
-                has an exact DuckDB twin (46/46 hash-verified)
+                has an exact DuckDB twin (47/47 hash-verified, incl.
+                bpe_token_stats)
 """
 
 from __future__ import annotations
