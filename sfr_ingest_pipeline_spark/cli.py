@@ -182,6 +182,29 @@ def cmd_verify(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_changes(args) -> int:
+    """Incremental changelog between two snapshots (JSON lines + summary)."""
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = TranscriptTable.load(args.table)
+    to_id = args.to_snapshot if args.to_snapshot is not None else t.snapshot.snapshot_id
+    df = t.changes_between(spark, args.from_snapshot, to_id)
+    if args.limit:
+        df = df.limit(args.limit)
+    rows = df.collect()
+    for row in rows:
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()},
+                         ensure_ascii=False))
+    counts = {}
+    for row in rows:
+        counts[row["_change_type"]] = counts.get(row["_change_type"], 0) + 1
+    print(json.dumps({"from": args.from_snapshot, "to": to_id,
+                      "changes": len(rows), **counts}), file=sys.stderr)
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any named analytic query from the driver surface over a parquet
     table directory (``--sf-dir``); ``--list`` prints the inventory. Rows go
@@ -286,6 +309,14 @@ def main(argv: list[str] | None = None) -> int:
     mz.add_argument("--out", required=True)
     _add_spark_args(mz)
     mz.set_defaults(fn=cmd_materialize)
+
+    ch = sub.add_parser("changes", help="incremental changelog between snapshots")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--to-snapshot", type=int, default=None)
+    ch.add_argument("--limit", type=int, default=0)
+    _add_spark_args(ch)
+    ch.set_defaults(fn=cmd_changes)
 
     q = sub.add_parser("query", help="run a named analytic query (JSON lines)")
     q.add_argument("name", nargs="?", help="query name (see --list)")

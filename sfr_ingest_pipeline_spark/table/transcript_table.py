@@ -396,6 +396,92 @@ class TranscriptTable:
             .orderBy("turn_idx")
         )
 
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog scan (Iceberg-CDC analog): the NET per-key
+        changes between two committed snapshots, as rows tagged
+        ``_change_type`` in {insert, update, delete} — what a downstream
+        consumer tails instead of re-reading the table.
+
+        Incremental by construction: every key that changed appears in a
+        data file ADDED between the snapshots (MoR deltas carry exactly the
+        batch winners; CoW rewrites contain their bucket's keys), so the
+        scan reads only added files for candidates, then resolves old/new
+        state restricted to the touched buckets and candidate keys —
+        O(changed buckets), never O(table). CoW rewrites carry forward
+        unchanged keys; the old-vs-new null-safe payload compare drops them,
+        so output is exact either way. Additive schema evolution between the
+        snapshots null-fills the old side to the new logical schema.
+        """
+        new_t = (
+            self if to_snapshot_id is None
+            else TranscriptTable.load(self.root, to_snapshot_id)
+        )
+        old_t = TranscriptTable.load(self.root, from_snapshot_id)
+        key_cols = list(new_t.snapshot.key_cols)
+        logical = new_t.schema
+        payload = [f.name for f in logical.fields if f.name not in key_cols]
+
+        old_paths = {f.path for f in old_t.files}
+        added = [f for f in new_t.files if f.path not in old_paths]
+        change_col = F.col("_change_type")
+        empty = T.StructType(
+            [f for f in logical.fields]
+            + [T.StructField("_change_type", T.StringType())]
+        )
+        if not added:
+            return spark.createDataFrame([], empty)
+
+        phys_new = physical_schema(logical)
+        cand = (
+            spark.read.schema(phys_new)
+            .parquet(*[os.path.join(self.root, f.path) for f in added])
+            .select(*key_cols)
+            .distinct()
+        )
+        buckets = {f.bucket for f in added}
+
+        def _aligned_state(t: "TranscriptTable") -> DataFrame:
+            df = t.scan(spark, buckets=buckets)
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(f.name) if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in logical.fields
+                ]
+            ).join(cand, key_cols, "left_semi")
+        new_state = _aligned_state(new_t)
+        old_state = _aligned_state(old_t)
+
+        n = new_state.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in payload]).alias("_new"),
+        )
+        o = old_state.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in payload]).alias("_old"),
+        )
+        joined = n.join(o, key_cols, "full_outer")
+        typed = joined.withColumn(
+            "_change_type",
+            F.when(F.col("_old").isNull() & F.col("_new").isNotNull(), "insert")
+            .when(F.col("_new").isNull() & F.col("_old").isNotNull(), "delete")
+            .when(~F.col("_new").eqNullSafe(F.col("_old")), "update"),
+        ).filter(change_col.isNotNull())
+        carrier = F.when(change_col == "delete", F.col("_old")).otherwise(
+            F.col("_new")
+        )
+        return typed.select(
+            *key_cols,
+            *[carrier.getField(c).alias(c) for c in payload],
+            change_col,
+        )
+
     # -------------------------------------------------------------- commit
     def commit(
         self,

@@ -220,3 +220,63 @@ def test_snapshot_log_scales_to_many_commits(tmp_path, monkeypatch):
     tail = loaded.history(limit=5)
     assert [s.properties["batch_id"] for s in tail] == [495, 496, 497, 498, 499]
     assert parsed["n"] == 5
+
+
+def test_changes_between_snapshots(spark, tmp_path, small_cfg):
+    """Incremental changelog scan: exact net insert/update/delete set between
+    any two snapshots, in both CoW and MoR modes."""
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    batch0 = pd.DataFrame([
+        ev("I", "c1", 0, "a", 1), ev("I", "c1", 1, "b", 2), ev("I", "c2", 0, "x", 3),
+    ])
+    batch1 = pd.DataFrame([
+        ev("U", "c1", 1, "b2", 10), ev("D", "c2", 0, "", 11), ev("I", "c3", 0, "z", 12),
+    ])
+
+    for mode in ("cow", "mor"):
+        cfg = dc_replace(small_cfg, merge_mode=mode)
+        root = str(tmp_path / f"chg_{mode}")
+        TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+        r0 = apply_batch(spark, root, spark.createDataFrame(batch0), 0, config=cfg)
+        r1 = apply_batch(spark, root, spark.createDataFrame(batch1), 1, config=cfg)
+        t = TranscriptTable.load(root)
+
+        chg = t.changes_between(spark, r0.snapshot_id, r1.snapshot_id)
+        got = {
+            (r.conv_id, r.turn_idx): (r._change_type, r.text)
+            for r in chg.collect()
+        }
+        assert got == {
+            ("c1", 1): ("update", "b2"),
+            ("c2", 0): ("delete", "x"),      # delete carries the OLD row
+            ("c3", 0): ("insert", "z"),
+        }, (mode, got)
+
+        # net across both batches from the empty created snapshot: c2 never
+        # survives, c1 turn 1 nets to a plain insert at its final value
+        base_sid = r0.snapshot_id - 1
+        net = t.changes_between(spark, base_sid, r1.snapshot_id)
+        got_net = {
+            (r.conv_id, r.turn_idx): (r._change_type, r.text)
+            for r in net.collect()
+        }
+        assert got_net == {
+            ("c1", 0): ("insert", "a"),
+            ("c1", 1): ("insert", "b2"),
+            ("c3", 0): ("insert", "z"),
+        }, (mode, got_net)
+
+        # same-snapshot diff is empty
+        assert t.changes_between(spark, r1.snapshot_id, r1.snapshot_id).count() == 0
