@@ -172,3 +172,66 @@ def verify_against_binlog(
         "columns_not_covered_by_binlog": uncovered,
         "ok": missing == 0 and extra == 0,
     }
+
+
+def recluster(
+    spark: SparkSession,
+    table_root: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    buckets: set[int] | None = None,
+    files_per_bucket: int = 4,
+) -> TranscriptTable:
+    """Sort-rewrite buckets so their base files carry near-DISJOINT conv_id
+    ranges (the Iceberg rewrite_data_files+sort analog).
+
+    Write-time clustering sorts within files, but under uniform ids every
+    file in a bucket still spans the whole keyspace, so per-file
+    (conv_id_min, conv_id_max) pruning — point lookups,
+    MERGE range pruning, changes_between — reads every file in the bucket.
+    Range-repartitioning on (_bucket, conv_id) makes each output file a
+    contiguous conv_id slice of its bucket: after recluster a point lookup
+    touches ~1 file and a range-local batch prunes the rest.
+
+    Like compact, this is a normal snapshot commit (LWW-resolves deltas,
+    carries the batch-id marker forward, time travel intact)."""
+    table = TranscriptTable.load(table_root)
+    if buckets is None:
+        buckets = {f.bucket for f in table.files}
+    if not buckets:
+        return table
+
+    df = table.scan(spark, with_meta=True, buckets=buckets)
+    key_cols = list(table.snapshot.key_cols)
+    payload = [c for c in df.columns if c not in key_cols]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in table.snapshot.order_cols]),
+    ).alias("_w")
+    resolved = df.groupBy(*key_cols).agg(winner).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+
+    commit_rel = (
+        f"data/recluster-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    out_dir = os.path.join(table.root, commit_rel)
+    (
+        resolved.withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
+        # range partitioner orders by (_bucket, conv_id): within any output
+        # partition a bucket's rows form one contiguous conv_id slice, and
+        # slices across partitions are disjoint by construction
+        .repartitionByRange(
+            max(1, len(buckets) * files_per_bucket),
+            F.col("_bucket"), F.col("conv_id"),
+        )
+        .sortWithinPartitions(*key_cols)
+        .write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+    )
+    new_files = table.harvest_files(commit_rel, kind_for_bucket="base")
+    props = dict(table.snapshot.properties)  # carry batch_id marker forward
+    props["maintenance"] = {
+        "op": "recluster",
+        "buckets": sorted(buckets),
+        "files_per_bucket": files_per_bucket,
+    }
+    return table.commit(buckets, new_files, props)

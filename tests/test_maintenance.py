@@ -95,3 +95,63 @@ def test_verify_against_binlog(spark, tmp_path, binlog_basic, small_cfg):
     table.commit({victim.bucket}, [], dict(table.snapshot.properties))
     report2 = verify_against_binlog(spark, root, binlog, config=small_cfg)
     assert not report2["ok"] and report2["missing_in_table"] > 0
+
+
+def test_recluster_disjoint_ranges_and_semantics(spark, tmp_path, small_cfg):
+    """After recluster: table state unchanged, per-bucket file conv_id
+    ranges pairwise disjoint, point lookups touch one file, batch-id marker
+    survives."""
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.generator import generate_binlog
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.oracle import load_binlog_pandas
+    from sfr_ingest_pipeline_spark.table.maintenance import recluster
+
+    binlog = str(tmp_path / "bl")
+    generate_binlog(binlog, seed=9, n_events=6000, n_segments=3,
+                    n_conversations=200)
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root, n_buckets=4)
+    for i, seg in enumerate(load_binlog_pandas(binlog)):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=small_cfg)
+
+    before_tbl = TranscriptTable.load(root)
+    marker_before = before_tbl.last_batch_id
+    before = (
+        before_tbl.scan(spark).orderBy("conv_id", "turn_idx")
+        .toPandas().reset_index(drop=True)
+    )
+
+    t2 = recluster(spark, root, config=small_cfg, files_per_bucket=3)
+    after = (
+        t2.scan(spark).orderBy("conv_id", "turn_idx")
+        .toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+    assert t2.last_batch_id == marker_before
+
+    # disjoint ranges per bucket
+    by_bucket = {}
+    for f in t2.files:
+        assert f.kind == "base"
+        by_bucket.setdefault(f.bucket, []).append((f.conv_id_min, f.conv_id_max))
+    multi = 0
+    for ranges in by_bucket.values():
+        ranges.sort()
+        if len(ranges) > 1:
+            multi += 1
+        for (_, amax), (bmin, _) in zip(ranges, ranges[1:]):
+            assert amax < bmin, ranges   # strictly disjoint slices
+    assert multi > 0, "recluster produced single-file buckets only; test is vacuous"
+
+    # point lookup now touches exactly one file
+    conv = before["conv_id"].iloc[0]
+    from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+    b = bucket_of(conv, t2.n_buckets)
+    covering = [
+        f for f in t2.files_in_buckets({b})
+        if (f.conv_id_min is None or f.conv_id_min <= conv)
+        and (f.conv_id_max is None or conv <= f.conv_id_max)
+    ]
+    assert len(covering) == 1, covering
