@@ -165,6 +165,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_recluster(args) -> int:
+    from sfr_ingest_pipeline_spark.table.maintenance import recluster
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    t = recluster(spark, args.table, files_per_bucket=args.files_per_bucket)
+    print(json.dumps({"snapshot_id": t.snapshot.snapshot_id,
+                      "files": len(t.files),
+                      "sec": round(time.time() - t0, 2)}))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from sfr_ingest_pipeline_spark.table.maintenance import expire_snapshots
 
@@ -298,6 +311,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--tombstone-watermark-us", type=int, default=None)
     _add_spark_args(c)
     c.set_defaults(fn=cmd_compact)
+
+    rc = sub.add_parser("recluster", help="range-split bucket files for key pruning")
+    rc.add_argument("--table", required=True)
+    rc.add_argument("--files-per-bucket", type=int, default=4)
+    _add_spark_args(rc)
+    rc.set_defaults(fn=cmd_recluster)
 
     e = sub.add_parser("expire", help="expire old snapshots + GC data files")
     e.add_argument("--table", required=True)
