@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "simhash_docs",
     "srp_ann_topk",
     "embedding_near_dups",
+    "ivf_ann_topk",
+    "purchase_asof_view",
 ]
 
 
