@@ -280,3 +280,43 @@ def test_changes_between_snapshots(spark, tmp_path, small_cfg):
 
         # same-snapshot diff is empty
         assert t.changes_between(spark, r1.snapshot_id, r1.snapshot_id).count() == 0
+
+
+def test_changes_between_reads_only_touched_buckets(spark, tmp_path, small_cfg):
+    """The changelog scan's I/O must be O(changed buckets): after a second
+    batch touching ONE conversation, the old/new state scans read no files
+    from buckets the batch never touched."""
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    root = str(tmp_path / "prune")
+    TranscriptTable.create(root, n_buckets=8)
+    wide = pd.DataFrame(
+        [ev("I", f"conv-{i:04d}", 0, f"t{i}", i) for i in range(200)]
+    )
+    r0 = apply_batch(spark, root, spark.createDataFrame(wide), 0, config=cfg)
+    one = pd.DataFrame([ev("U", "conv-0007", 0, "changed", 10_000)])
+    r1 = apply_batch(spark, root, spark.createDataFrame(one), 1, config=cfg)
+
+    t = TranscriptTable.load(root)
+    from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+    touched = {bucket_of("conv-0007", t.n_buckets)}
+
+    chg = t.changes_between(spark, r0.snapshot_id, r1.snapshot_id)
+    rows = chg.collect()
+    assert {(r.conv_id, r._change_type) for r in rows} == {("conv-0007", "update")}
+    read = set(chg.inputFiles())
+    for p in read:
+        assert any(p.endswith(f.path) for f in t.files_in_buckets(touched)), (
+            p, sorted(f.path for f in t.files_in_buckets(touched)))
