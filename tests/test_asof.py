@@ -104,3 +104,42 @@ def test_single_shuffle_no_join(spark, sides):
     plan = asof_join(left, right, on="t", by="k")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_matches_pure_python_property(spark):
+    """Property sweep (pure-python twin, many small shapes incl. duplicates
+    on the LEFT, empty sides, all-match and no-match keys)."""
+    import itertools
+    import random
+
+    rng = random.Random(23)
+    for case in range(12):
+        n_keys = rng.randrange(1, 4)
+        lrows = [
+            (k, rng.randrange(0, 30), f"l{i}")
+            for i, k in enumerate(
+                rng.choices(range(n_keys + 1), k=rng.randrange(1, 15))
+            )
+        ]
+        seen = set()
+        rrows = []
+        for k in rng.choices(range(n_keys), k=rng.randrange(0, 12)):
+            t = rng.randrange(0, 30)
+            if (k, t) not in seen:          # operator contract: unique (by, on)
+                seen.add((k, t))
+                rrows.append((k, t, f"r{k}-{t}"))
+
+        left = spark.createDataFrame(lrows, ["k", "t", "lv"]) if lrows else None
+        right = (
+            spark.createDataFrame(rrows, ["k", "t", "rv"])
+            if rrows
+            else spark.createDataFrame([], "k bigint, t bigint, rv string")
+        )
+        out = {
+            r.lv: r.rv
+            for r in asof_join(left, right, on="t", by="k").collect()
+        }
+        for k, t, lv in lrows:
+            cands = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
+            expected = max(cands)[1] if cands else None
+            assert out[lv] == expected, (case, k, t, lv, out[lv], expected)
