@@ -165,6 +165,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    t = TranscriptTable.load(args.table)
+    nt = t.rollback(args.to_snapshot)
+    print(json.dumps({"snapshot_id": nt.snapshot.snapshot_id,
+                      "restored": args.to_snapshot,
+                      "last_batch_id": nt.last_batch_id}))
+    return 0
+
+
 def cmd_recluster(args) -> int:
     from sfr_ingest_pipeline_spark.table.maintenance import recluster
 
@@ -311,6 +322,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--tombstone-watermark-us", type=int, default=None)
     _add_spark_args(c)
     c.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser("rollback", help="restore an earlier snapshot as a new commit")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-snapshot", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
 
     rc = sub.add_parser("recluster", help="range-split bucket files for key pruning")
     rc.add_argument("--table", required=True)

@@ -570,6 +570,45 @@ class TranscriptTable:
         )
         return TranscriptTable(self.root, snap)
 
+    def rollback(self, to_snapshot_id: int) -> "TranscriptTable":
+        """Restore the table to an earlier snapshot's state as a NEW commit
+        (Iceberg rollback semantics: history moves forward, data moves back).
+
+        The child snapshot adopts the target's manifests, schema, and
+        properties — including its batch-id marker, so change batches applied
+        after the target count as un-applied again and an idempotent
+        re-delivery (or a replay from a reset checkpoint) re-applies them.
+        No data files move; snapshot-expiry GC keeps every file the retained
+        history references, rolled-back-over or not."""
+        target = TranscriptTable.load(self.root, to_snapshot_id).snapshot
+        cur = self.snapshot
+        if target.legacy_files is not None:
+            raise ValueError("cannot roll back to a pre-sharding legacy snapshot")
+        props = dict(target.properties)
+        props["maintenance"] = {
+            "op": "rollback",
+            "from_snapshot": cur.snapshot_id,
+            "to_snapshot": to_snapshot_id,
+        }
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            created_us=int(time.time() * 1e6),
+            schema_id=target.schema_id,
+            schema_json=target.schema_json,
+            n_buckets=target.n_buckets,
+            manifests=dict(target.manifests),
+            properties=props,
+            key_cols=list(target.key_cols),
+            order_cols=list(target.order_cols),
+        )
+        _atomic_write_json(self._snap_path(self.root, snap.snapshot_id), snap.to_json())
+        # COMMIT POINT:
+        _atomic_write_text(
+            os.path.join(self._meta_dir, "version-hint.text"), str(snap.snapshot_id)
+        )
+        return TranscriptTable(self.root, snap)
+
     # -------------------------------------------------------- file harvest
     def harvest_files(
         self, commit_dir_rel: str, kind_for_bucket=None

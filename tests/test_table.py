@@ -320,3 +320,49 @@ def test_changes_between_reads_only_touched_buckets(spark, tmp_path, small_cfg):
     for p in read:
         assert any(p.endswith(f.path) for f in t.files_in_buckets(touched)), (
             p, sorted(f.path for f in t.files_in_buckets(touched)))
+
+
+def test_rollback_restores_state_and_reopens_batches(spark, tmp_path, small_cfg):
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    b0 = pd.DataFrame([ev("I", "c1", 0, "a", 1), ev("I", "c2", 0, "x", 2)])
+    b1 = pd.DataFrame([ev("U", "c1", 0, "a2", 9), ev("D", "c2", 0, "", 10)])
+    root = str(tmp_path / "rb")
+    TranscriptTable.create(root, n_buckets=4)
+    r0 = apply_batch(spark, root, spark.createDataFrame(b0), 0, config=small_cfg)
+    r1 = apply_batch(spark, root, spark.createDataFrame(b1), 1, config=small_cfg)
+
+    def state(t):
+        return (
+            t.scan(spark).orderBy("conv_id", "turn_idx")
+            .toPandas().reset_index(drop=True)
+        )
+
+    t = TranscriptTable.load(root)
+    after_b1 = state(t)
+    after_b0 = state(TranscriptTable.load(root, r0.snapshot_id))
+
+    rb = t.rollback(r0.snapshot_id)
+    assert rb.snapshot.snapshot_id == r1.snapshot_id + 1
+    pd.testing.assert_frame_equal(state(rb), after_b0)
+    assert rb.last_batch_id == 0           # batch 1 counts as un-applied again
+
+    # re-delivering batch 1 applies (not skipped) and reconverges exactly
+    r1b = apply_batch(spark, root, spark.createDataFrame(b1), 1, config=small_cfg)
+    assert r1b.committed and not r1b.skipped
+    pd.testing.assert_frame_equal(state(TranscriptTable.load(root)), after_b1)
+
+    # pre-rollback history still time-travels
+    pd.testing.assert_frame_equal(
+        state(TranscriptTable.load(root, r1.snapshot_id)), after_b1
+    )
