@@ -165,6 +165,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    from sfr_ingest_pipeline_spark.table.maintenance import rebucket
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    t = rebucket(spark, args.table, new_n_buckets=args.buckets)
+    print(json.dumps({"snapshot_id": t.snapshot.snapshot_id,
+                      "n_buckets": t.n_buckets,
+                      "sec": round(time.time() - t0, 2)}))
+    return 0
+
+
 def cmd_rollback(args) -> int:
     from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
 
@@ -322,6 +335,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--tombstone-watermark-us", type=int, default=None)
     _add_spark_args(c)
     c.set_defaults(fn=cmd_compact)
+
+    rbk = sub.add_parser("rebucket", help="rewrite the table under a new bucket count")
+    rbk.add_argument("--table", required=True)
+    rbk.add_argument("--buckets", type=int, required=True)
+    _add_spark_args(rbk)
+    rbk.set_defaults(fn=cmd_rebucket)
 
     rb = sub.add_parser("rollback", help="restore an earlier snapshot as a new commit")
     rb.add_argument("--table", required=True)

@@ -235,3 +235,60 @@ def recluster(
         "files_per_bucket": files_per_bucket,
     }
     return table.commit(buckets, new_files, props)
+
+
+def rebucket(
+    spark: SparkSession,
+    table_root: str,
+    new_n_buckets: int,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> TranscriptTable:
+    """Bucket-layout evolution: rewrite the whole table under a different
+    bucket count (the table outgrew — or over-provisioned — its layout).
+
+    At 10^10 events the bucket count chosen on day one is wrong eventually:
+    too few buckets -> each MERGE rewrite touches huge files; too many ->
+    small-file pressure and manifest bloat. This is the one maintenance op
+    that must rewrite EVERYTHING (the hash layout changes meaning), so it is
+    a scheduled, rare operation; the commit layer enforces that a layout
+    change replaces every old bucket atomically. LWW-resolves deltas on the
+    way through; batch-id marker carried forward; old snapshots still read
+    under their own recorded layout."""
+    table = TranscriptTable.load(table_root)
+    old_buckets = set(range(table.n_buckets))
+
+    df = table.scan(spark, with_meta=True)
+    key_cols = list(table.snapshot.key_cols)
+    payload = [c for c in df.columns if c not in key_cols]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in table.snapshot.order_cols]),
+    ).alias("_w")
+    resolved = df.groupBy(*key_cols).agg(winner).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+
+    commit_rel = (
+        f"data/rebucket-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    out_dir = os.path.join(table.root, commit_rel)
+    n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, new_n_buckets)))
+    (
+        resolved.withColumn("_bucket", bucket_expr(F.col("conv_id"), new_n_buckets))
+        .withColumn(
+            "_wsalt",
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_wsalt)),
+        )
+        .repartition(new_n_buckets * n_wsalt, F.col("_bucket"), F.col("_wsalt"))
+        .sortWithinPartitions(*key_cols)
+        .drop("_wsalt")
+        .write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+    )
+    new_files = table.harvest_files(commit_rel, kind_for_bucket="base")
+    props = dict(table.snapshot.properties)  # carry batch_id marker forward
+    props["maintenance"] = {
+        "op": "rebucket",
+        "from_n_buckets": table.n_buckets,
+        "to_n_buckets": new_n_buckets,
+    }
+    return table.commit(old_buckets, new_files, props, n_buckets=new_n_buckets)

@@ -490,6 +490,7 @@ class TranscriptTable:
         properties: dict,
         schema: T.StructType | None = None,
         carry_files: set[str] | None = None,
+        n_buckets: int | None = None,
     ) -> "TranscriptTable":
         """Commit a child snapshot.
 
@@ -503,8 +504,16 @@ class TranscriptTable:
         * ONE manifest file is written holding the post-commit file lists of
           every touched bucket; untouched buckets re-reference the parent's
           manifests — the snapshot JSON stays O(n_buckets);
-        * the version-hint rename is the atomic commit point (SURVEY §4.3/4.4).
+        * the version-hint rename is the atomic commit point (SURVEY §4.3/4.4);
+        * ``n_buckets`` (bucket-layout evolution) is only legal when EVERY
+          bucket is replaced — a partial rewrite under a new hash layout
+          would leave files whose bucket ids mean the old layout.
         """
+        if n_buckets is not None and n_buckets != self.snapshot.n_buckets:
+            if set(replace_buckets) != set(range(self.snapshot.n_buckets)):
+                raise ValueError(
+                    "bucket-layout change requires replacing every bucket"
+                )
         cur = self.snapshot
         carry = carry_files or set()
         new_by_bucket: dict[int, list[DataFileInfo]] = {}
@@ -557,7 +566,7 @@ class TranscriptTable:
             created_us=int(time.time() * 1e6),
             schema_id=schema_id,
             schema_json=schema_json,
-            n_buckets=cur.n_buckets,
+            n_buckets=n_buckets if n_buckets is not None else cur.n_buckets,
             manifests=manifests,
             properties=properties,
             key_cols=list(cur.key_cols),

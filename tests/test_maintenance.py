@@ -155,3 +155,67 @@ def test_recluster_disjoint_ranges_and_semantics(spark, tmp_path, small_cfg):
         and (f.conv_id_max is None or conv <= f.conv_id_max)
     ]
     assert len(covering) == 1, covering
+
+
+def test_rebucket_layout_evolution(spark, tmp_path, small_cfg):
+    """Rewrite the table under a new bucket count: state preserved, MERGE
+    continues on the new layout, point lookups work, old snapshots still
+    read under their recorded layout."""
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.generator import generate_binlog
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.oracle import load_binlog_pandas, reduce_binlog, LOGICAL_COLS
+    from sfr_ingest_pipeline_spark.table.maintenance import rebucket
+
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    binlog = str(tmp_path / "bl")
+    generate_binlog(binlog, seed=13, n_events=4000, n_segments=4,
+                    n_conversations=120)
+    segs = load_binlog_pandas(binlog)
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root, n_buckets=4)
+    for i, seg in enumerate(segs[:3]):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=cfg)
+
+    def state():
+        return (
+            TranscriptTable.load(root).scan(spark)
+            .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+        )
+
+    before = state()
+    old_sid = TranscriptTable.load(root).snapshot.snapshot_id
+
+    t8 = rebucket(spark, root, new_n_buckets=8, config=cfg)
+    assert t8.n_buckets == 8
+    assert {f.bucket for f in t8.files} <= set(range(8))
+    pd.testing.assert_frame_equal(state(), before)
+
+    # MERGE continues on the new layout; final state matches the oracle
+    apply_batch(spark, root, spark.createDataFrame(segs[3]), 3, config=cfg)
+    golden = reduce_binlog(segs)
+    got = state()
+    pd.testing.assert_frame_equal(
+        got[LOGICAL_COLS], golden[LOGICAL_COLS], check_dtype=False
+    )
+
+    # point lookup under the new layout
+    t = TranscriptTable.load(root)
+    conv = golden["conv_id"].iloc[0]
+    assert t.read_conversation(spark, conv).count() > 0
+
+    # the pre-rebucket snapshot still reads under its own (4-bucket) layout
+    old = TranscriptTable.load(root, old_sid)
+    assert old.n_buckets == 4
+    pd.testing.assert_frame_equal(
+        old.scan(spark).orderBy("conv_id", "turn_idx")
+        .toPandas().reset_index(drop=True),
+        before,
+    )
+
+    # partial-replace under a layout change must be rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.commit({0}, [], {"batch_id": 99}, n_buckets=16)
