@@ -21,7 +21,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_mode(spark, mode: str, n_batches: int, events_per_batch: int) -> list[dict]:
+def run_mode(spark, mode: str, n_batches: int, events_per_batch: int,
+             overlap: bool = False) -> list[dict]:
     from sfr_ingest_pipeline_spark.config import EngineConfig
     from sfr_ingest_pipeline_spark.generator import fast_binlog
     from sfr_ingest_pipeline_spark.operators.merge import apply_batch
@@ -41,12 +42,18 @@ def run_mode(spark, mode: str, n_batches: int, events_per_batch: int) -> list[di
 
     rows = []
     for i in range(n_batches):
-        # fresh keyspace slice per batch: ~uniform growth of the live table
+        # disjoint: fresh keyspace slice per batch (~uniform table growth,
+        # update-recent workloads — range pruning applies).
+        # overlap: batch i draws uniformly from the UNION keyspace so far
+        # (growing table + updates spread across all of it — the adversarial
+        # case range pruning cannot help by construction).
         seg_dir = os.path.join(work, f"gen{i}")
+        base_convs = max(200, events_per_batch // 20)
         fast_binlog(
             seg_dir, n_events=events_per_batch, n_segments=1, seed=1000 + i,
-            n_conversations=max(200, events_per_batch // 20),
-            conv_offset=i * 10_000_000,   # disjoint keyspace -> table grows
+            n_conversations=base_convs * (i + 1) if overlap else base_convs,
+            conv_offset=0 if overlap else i * 10_000_000,
+            seq_offset=i * events_per_batch * 10,
         )
         df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(seg_dir)
         t0 = time.time()
@@ -77,6 +84,11 @@ def main() -> int:
     for mode in ("cow", "mor"):
         curves[mode] = run_mode(spark, mode, n_batches, events_per_batch)
         print(mode, json.dumps(curves[mode]), flush=True)
+    ov = {}
+    for mode in ("cow", "mor"):
+        ov[mode] = run_mode(spark, mode, n_batches, events_per_batch,
+                            overlap=True)
+        print("overlap-" + mode, json.dumps(ov[mode]), flush=True)
 
     def tail_avg(rows, k=3):
         return sum(r["ev_per_sec"] for r in rows[-k:]) / k
@@ -84,6 +96,11 @@ def main() -> int:
     md_rows = "\n".join(
         f"| {i} | {curves['cow'][i]['table_rows']:,} | "
         f"{curves['cow'][i]['sec']:.2f} | {curves['mor'][i]['sec']:.2f} |"
+        for i in range(n_batches)
+    )
+    ov_rows = "\n".join(
+        f"| {i} | {ov['cow'][i]['table_rows']:,} | "
+        f"{ov['cow'][i]['sec']:.2f} | {ov['mor'][i]['sec']:.2f} |"
         for i in range(n_batches)
     )
     md = f"""# BENCH/SUSTAINED — apply cost vs table size (CoW vs MoR)
@@ -101,16 +118,28 @@ grows with it.
 Tail throughput (last 3 batches): cow {tail_avg(curves['cow']):,.0f} ev/s,
 mor {tail_avg(curves['mor']):,.0f} ev/s.
 
-Interpretation (round 2, after per-file conv_id-range pruning): each batch
-here carries a DISJOINT conv_id range, so manifest range pruning lets even
-CoW skip every prior file — its per-batch cost is now ~flat instead of
-tracking live table size (round 1 measured 5 -> 18 s growth on the same
-workload before pruning). That models time-clustered id workloads
-(update-recent). Under keys that overlap the whole table CoW still rewrites
-every touched bucket -> cost tracks table size, quadratic total work at
-10^10 events; MoR appends O(batch) winner rows with bounded compaction every
-compact_delta_files batches (the sawtooth rows above) and stays O(batch)
-regardless of key overlap, so MoR remains the 10^10-scale default.
+## Overlapping keyspace (batch i updates uniformly across ALL keys so far)
+
+| batch | table rows (cow) | cow sec | mor sec |
+|---|---|---|---|
+{ov_rows}
+
+Tail throughput (last 3 batches): cow {tail_avg(ov['cow']):,.0f} ev/s,
+mor {tail_avg(ov['mor']):,.0f} ev/s.
+
+Interpretation (round 2, after per-file conv_id-range pruning): in the
+DISJOINT-keyspace run (update-recent / time-clustered ids) manifest range
+pruning lets even CoW skip every prior file, so its per-batch cost is ~flat
+(round 1 measured 5 -> 18 s growth on the same workload before pruning).
+The OVERLAP run is the adversarial case pruning cannot help by
+construction — the table grows while each batch's updates spread uniformly
+across every key seen so far, so every file intersects the batch range and
+CoW must rewrite the whole live table each batch: its per-batch cost tracks
+table size (quadratic total work at 10^10 events, visible as the rising cow
+column). MoR appends O(batch winners) with bounded
+compaction every compact_delta_files batches (the sawtooth rows) and stays
+O(batch) under every key distribution, so MoR remains the 10^10-scale
+default.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SUSTAINED.md"), "w") as f:
