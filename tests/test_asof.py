@@ -109,7 +109,6 @@ def test_single_shuffle_no_join(spark, sides):
 def test_asof_matches_pure_python_property(spark):
     """Property sweep (pure-python twin, many small shapes incl. duplicates
     on the LEFT, empty sides, all-match and no-match keys)."""
-    import itertools
     import random
 
     rng = random.Random(23)
