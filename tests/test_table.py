@@ -366,3 +366,37 @@ def test_rollback_restores_state_and_reopens_batches(spark, tmp_path, small_cfg)
     pd.testing.assert_frame_equal(
         state(TranscriptTable.load(root, r1.snapshot_id)), after_b1
     )
+
+
+def test_changes_between_across_schema_evolution(spark, tmp_path, small_cfg):
+    """A column added mid-stream (ALTER-on-write) must flow through the
+    changelog: new-side rows carry it, and keys untouched by the widening
+    batch do not reappear."""
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    def ev(op, conv, turn, text, seq, **extra):
+        d = {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+        d.update(extra)
+        return d
+
+    b0 = pd.DataFrame([ev("I", "c1", 0, "a", 1), ev("I", "c2", 0, "x", 2)])
+    b1 = pd.DataFrame([ev("U", "c1", 0, "a2", 9, tool_meta='{"v":1}')])
+
+    root = str(tmp_path / "sev")
+    TranscriptTable.create(root, n_buckets=4)
+    r0 = apply_batch(spark, root, spark.createDataFrame(b0), 0, config=small_cfg)
+    r1 = apply_batch(spark, root, spark.createDataFrame(b1), 1, config=small_cfg)
+
+    t = TranscriptTable.load(root)
+    assert "tool_meta" in [f.name for f in t.schema.fields]   # widened
+    chg = t.changes_between(spark, r0.snapshot_id, r1.snapshot_id)
+    rows = chg.collect()
+    got = {(r.conv_id): (r._change_type, r.text, r.tool_meta) for r in rows}
+    assert got == {"c1": ("update", "a2", '{"v":1}')}, got    # c2 untouched
