@@ -69,3 +69,25 @@ def interval_join(
     return joined.select(F.col("_k").alias(key), *[
         c for c in joined.columns if c not in ("_k", "_rk")
     ])
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once transport dedup as a STREAMING op: drop redeliveries of
+    the same ``id_cols`` arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is evicted once the watermark
+    passes, so memory is O(ids per horizon), not O(stream)).
+
+    This complements the engine's structural idempotency: the LWW MERGE
+    absorbs duplicates exactly but ships them through the shuffle first;
+    placing this op at the source trims transport-level redeliveries before
+    they cost shuffle bytes. Unlike plain ``dropDuplicates`` on a stream
+    (whose state grows forever), the watermark bound makes it runnable on an
+    unbounded tail — the correct shape at 10^10 events."""
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )

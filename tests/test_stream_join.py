@@ -111,3 +111,27 @@ def test_streaming_join_plan_has_bounded_state(spark, tmp_path):
     # the string behind StreamingQuery.explain() (which only prints)
     plan = q._jsq.explainInternal(False)
     assert "StreamingSymmetricHashJoin" in plan, plan
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    from sfr_ingest_pipeline_spark.streaming.joins import dedup_within_watermark
+
+    rows = [(i % 50, 1000 + (i % 50) * 3, f"e{i % 50}") for i in range(200)]
+    d = str(tmp_path / "dups")
+    _events(spark, rows).write.parquet(d)
+    s = spark.readStream.schema("user_id bigint, ts timestamp, tag string").parquet(d)
+    q = (
+        dedup_within_watermark(s, ["tag"], watermark_delay="5 minutes")
+        .writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dd_test").collect()
+    assert len(got) == 50                       # 4x redelivery collapsed
+    assert len({r.tag for r in got}) == 50
+    plan = q._jsq.explainInternal(False)
+    assert "StreamingDeduplicateWithinWatermark" in plan, plan
