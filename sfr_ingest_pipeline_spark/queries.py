@@ -31,9 +31,10 @@ Coverage map (SURVEY.md §2 refs in parens):
                 coarse-quantizer ANN), minhash_lsh_dedup_pairs (full
                 shingle->band->bucket-join->Jaccard-verify pipeline),
                 simhash_near_dup_pairs (pigeonhole-banded hamming<=3,
-                brute-force oracle proves banding lossless) — every query
-                has an exact DuckDB twin (47/47 hash-verified, incl.
-                bpe_token_stats)
+                brute-force oracle proves banding lossless),
+                bpe_token_stats, purchase_view_attribution (interval join
+                in batch mode) — every query has an exact DuckDB twin
+                (48/48 hash-verified)
 """
 
 from __future__ import annotations
@@ -596,6 +597,29 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_purchase_view_attribution(spark, sf_dir):
+    """Interval-join attribution (streaming/joins.py interval_join run in
+    batch mode — same plan minus state): views within 30 minutes before each
+    purchase, per purchase. Hash-verifies the interval-join semantics the
+    streaming tests pin (inclusive bounds, leftOuter null emission)."""
+    from sfr_ingest_pipeline_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        purchases, views, key="user_id", lookback="30 minutes", how="leftOuter"
+    )
+    return j.groupBy(F.col("l_event_id").alias("event_id"), "user_id").agg(
+        F.count("r_ts").alias("n_views_30m"),
+        F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 4).alias("sum_view_value"),
+    )
+
+
 def q_minhash_lsh_dedup_pairs(spark, sf_dir):
     """The FULL MinHash+LSH dedup pipeline as one query (task-brief dedup
     family): shingle -> md5-slice band minima -> band-bucket equi-join with
@@ -676,6 +700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup_pairs": q_minhash_lsh_dedup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "bpe_token_stats": q_bpe_token_stats,
+    "purchase_view_attribution": q_purchase_view_attribution,
 }
 
 
@@ -1276,5 +1301,22 @@ ORACLE_SQL.update({
                round(avg(CAST(bpe AS DOUBLE) / greatest(CAST(ws AS DOUBLE), 1.0)), 4)
                    AS avg_bpe_per_ws
         FROM per_doc GROUP BY lang
+    """,
+})
+
+
+ORACLE_SQL.update({
+    # inclusive interval bounds on both ends, exactly interval_join's
+    # condition; LEFT JOIN so view-less purchases emit with count 0
+    "purchase_view_attribution": """
+        SELECT p.event_id, p.user_id,
+               count(v.ts) AS n_views_30m,
+               round(coalesce(sum(v.value), 0.0), 4) AS sum_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE
+         AND v.ts <= p.ts
+        GROUP BY p.event_id, p.user_id
     """,
 })
