@@ -644,10 +644,12 @@ def q_minhash_lsh_dedup_pairs(spark, sf_dir):
 
 
 def q_simhash_near_dup_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at hamming <= 3 via 4-byte pigeonhole banding
+    """SimHash near-dup pairs at hamming <= 3 over a 64-bit simhash (two
+    independent md5-word halves) via 4x16-bit pigeonhole banding with
+    exact-dedup-first collapse and the LSH hot-bucket cap
     (functions/dedup.py simhash_near_dup_pairs). The oracle computes the
-    pair set BRUTE-FORCE — the hash match proves the banded plan is lossless,
-    not merely self-consistent."""
+    pair set BRUTE-FORCE — the hash match proves the banded plan (and the
+    exact-group expansion) is lossless, not merely self-consistent."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
@@ -1257,27 +1259,35 @@ ORACLE_SQL.update({
               / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
               >= 0.5
     """,
-    # BRUTE-FORCE pair set (no banding): hash equality proves the Spark
-    # side's 4-byte pigeonhole banding is lossless for hamming <= 3
+    # BRUTE-FORCE 64-bit pair set (no banding, no exact-group collapse):
+    # hash equality proves the Spark side's 4x16-bit pigeonhole banding AND
+    # its exact-dedup-first member expansion are lossless for hamming <= 3
     "simhash_near_dup_pairs": r"""
         WITH tok AS (
-            SELECT doc_id,
-                   ('0x' || substr(md5(unnest(regexp_extract_all(text, '\S+'))), 1, 8))::BIGINT AS h
+            SELECT doc_id, md5(unnest(regexp_extract_all(text, '\S+'))) AS m
             FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(m, 1, 8))::BIGINT AS hlo,
+                   ('0x' || substr(m, 9, 8))::BIGINT AS hhi
+            FROM tok
         ), votes AS (
-            SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-            FROM tok CROSS JOIN range(32) r(i) GROUP BY doc_id, i
+            SELECT doc_id, i,
+                   sum(CASE WHEN (hlo >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vlo,
+                   sum(CASE WHEN (hhi >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vhi
+            FROM h CROSS JOIN range(32) r(i) GROUP BY doc_id, i
         ), sigs AS (
-            SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+            SELECT doc_id,
+                   sum(CASE WHEN vlo > 0 THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+                   sum(CASE WHEN vhi > 0 THEN (1::BIGINT << i) ELSE 0 END) AS hi
             FROM votes GROUP BY doc_id
         ), s AS (
-            SELECT d.doc_id, coalesce(g.sh, 0) AS sh
+            SELECT d.doc_id, coalesce(g.lo, 0) AS lo, coalesce(g.hi, 0) AS hi
             FROM documents d LEFT JOIN sigs g USING (doc_id)
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
     """,
 })
 
