@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_join, fuzzy_self_pairs
 
@@ -67,3 +68,64 @@ def test_no_cartesian(spark):
     pairs = fuzzy_self_pairs(df, id_col="id", col="s", max_dist=1, block_on="blk")
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_length_bucket_join_key_in_plan(spark):
+    """The length bucket is a JOIN KEY by default (round-2 verdict item 2):
+    a coarse block fans out across buckets instead of self-joining whole."""
+    df = spark.range(50).selectExpr(
+        "'all' AS blk", "id", "repeat('x', CAST(id % 40 AS INT)) AS s"
+    )
+    pairs = fuzzy_self_pairs(df, id_col="id", col="s", max_dist=2, block_on="blk")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_fz_lbkt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_length_bucket_lossless(spark):
+    """Bucketed join == unbucketed join on mixed-length data, including
+    empty strings and strings straddling bucket boundaries."""
+    rng = random.Random(23)
+    alphabet = "abcd"
+    rows = [
+        (rng.randrange(2), i,
+         "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["blk", "id", "s"])
+    kw = dict(id_col="id", col="s", max_dist=2, block_on="blk")
+    fast = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_self_pairs(df, length_bucket=True, **kw).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_self_pairs(df, length_bucket=False, **kw).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_single_coarse_block_completes(spark):
+    """20k rows under ONE blocking key (the round-1/2 foot-gun): the default
+    length bucketing splits the block into 40 disjoint bucket groups
+    (lengths spaced 3 apart with max_dist=2), so the join probes
+    ~3*N*rows_per_bucket candidates instead of N^2, and the verify stage
+    runs only on same-length-class pairs. The expected pair count is exact
+    by construction: every same-length-class pair is within distance 1
+    (same trailing char -> 0, else one substitution), every cross-class
+    pair is >= 3 edits apart."""
+    rows = [(0, i, "x" * (5 + (i % 40) * 3) + "abcdef"[i % 6])
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, ["blk", "id", "s"]).repartition(8)
+    pairs = fuzzy_self_pairs(df, id_col="id", col="s", max_dist=2, block_on="blk")
+    n_per_class = 20_000 // 40
+    expected = 40 * (n_per_class * (n_per_class - 1)) // 2
+    assert pairs.count() == expected
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in pairs.filter(F.col("id_a") < 3).collect()
+    }
+    assert len(got) > 0
+    for (ia, ib), d in got.items():
+        assert (ia % 40) == (ib % 40)
+        assert d == (0 if ia % 6 == ib % 6 else 1), (ia, ib, d)
