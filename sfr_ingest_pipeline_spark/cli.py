@@ -77,6 +77,7 @@ def cmd_replay(args) -> int:
         n_salt=args.salt,
         shuffle_partitions=args.shuffle_partitions or 32,
         merge_mode=args.merge_mode,
+        column_merge=args.column_merge,
         compact_delta_files=args.compact_delta_files,
     )
     schema = CHANGE_EVENT_SCHEMA_V2 if args.v2_schema else CHANGE_EVENT_SCHEMA
@@ -214,7 +215,9 @@ def cmd_verify(args) -> int:
 
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
-    report = verify_against_binlog(spark, args.table, args.binlog)
+    report = verify_against_binlog(
+        spark, args.table, args.binlog, column_merge=args.column_merge
+    )
     print(json.dumps(report))
     return 0 if report["ok"] else 1
 
@@ -311,6 +314,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--buckets", type=int, default=16)
     r.add_argument("--salt", type=int, default=8)
     r.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    r.add_argument("--column-merge", choices=["row", "coalesce"], default="row",
+                   help="row: whole-row LWW; coalesce: field-level LWW "
+                        "(partial updates only touch carried columns)")
     r.add_argument("--compact-delta-files", type=int, default=8)
     r.add_argument("--max-files-per-trigger", type=int, default=None)
     r.add_argument("--v2-schema", action="store_true")
@@ -383,6 +389,7 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="diff table vs independent binlog reduce")
     v.add_argument("--table", required=True)
     v.add_argument("--binlog", required=True, action="append")
+    v.add_argument("--column-merge", choices=["row", "coalesce"], default="row")
     _add_spark_args(v)
     v.set_defaults(fn=cmd_verify)
 

@@ -48,6 +48,13 @@ class EngineConfig:
     #        `compact_delta_files` deltas. At 10^10 events mor is the only
     #        sane mode — cow write amplification grows with table size.
     merge_mode: str = "cow"
+    # "row": whole-row LWW — the (ts, event_seq) winner's payload replaces
+    #        the row, nulls included (BASELINE.json's normative rule).
+    # "coalesce": field-level LWW (reference Work.update semantics,
+    #        SURVEY.md §3.1 E2) — each payload column independently keeps
+    #        the newest non-null value; a partial-update event only touches
+    #        the columns it carries; tombstones still cut history.
+    column_merge: str = "row"
     compact_delta_files: int = 8
     target_file_rows: int = 2_000_000
     lww_two_phase_threshold: int = 100_000

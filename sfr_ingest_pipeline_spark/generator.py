@@ -72,6 +72,10 @@ class GeneratorSpec:
     duplicate_ratio: float = 0.05
     late_ratio: float = 0.05
     ts_tie_ratio: float = 0.05
+    # fraction of U events that are PARTIAL updates (some payload columns
+    # null) — exercises column_merge="coalesce" (field-level LWW); 0 keeps
+    # every update full-row, which both merge modes treat identically
+    partial_update_ratio: float = 0.0
     zipf_s: float = 0.0
     schema_v2_from_segment: int | None = None
     # multi-source composition: give each source disjoint event_seq ranges
@@ -163,6 +167,17 @@ class BinlogGenerator:
                     "ts": ts_us,
                     "event_seq": event_seq,
                 }
+                if (
+                    op == "U"
+                    and spec.partial_update_ratio > 0
+                    and rng.random() < spec.partial_update_ratio
+                ):
+                    # partial update: carry only one payload field
+                    if rng.random() < 0.5:
+                        ev["role"] = None
+                        ev["tool"] = None
+                    else:
+                        ev["text"] = None
                 if v2:
                     ev["tool_meta"] = (
                         json.dumps({"latency_ms": int(rng.integers(1, 5000))})

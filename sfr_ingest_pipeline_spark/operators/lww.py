@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WINNER = "_lww_winner"
@@ -59,6 +59,233 @@ def lww_reduce(
         )
         return _reduce_once(phase1.drop("_salt"), key_cols, payload_cols, order_cols)
     return _reduce_once(df, key_cols, payload_cols, order_cols)
+
+
+# --------------------------------------------------------------------------
+# Field-level (per-column) LWW — SURVEY.md §3.1 E2: the reference's
+# update-if-non-null field semantics (core/model/work.py Work.update,
+# reconstructed). Row-level LWW clobbers unmentioned columns of a partial
+# update with nulls; in "coalesce" mode each payload column independently
+# takes the value from the NEWEST source row in which it is non-null, a
+# tombstone (delete) cuts older candidates, and committed state acts as ONE
+# row at its row order (per-column set-times are not retained across
+# commits — the oracle mirrors exactly this, and it makes CoW, MoR and
+# compaction agree: superseded stored versions, including old tombstones,
+# are collapsed by an order-leading full-row max before they can
+# contribute anything).
+#
+# The fold is three composable stages so the salted two-phase reduce works
+# unchanged (max of per-salt maxes == global max):
+#   candidates: per-row -> order-leading structs (no shuffle):
+#       _tgt     full state row (target rows only; commit recency breaks
+#                (ts, event_seq) ties between stored versions, which a
+#                stale-fill delta legitimately creates)
+#       _src_hw  newest source event order
+#       _del_src newest source DELETE order
+#       _cand_c  newest non-null source value per payload column
+#   agg:      groupBy(keys[, salt]).agg(max(...)) — plain max/sum
+#   finalize: oracle-identical combine (oracle.py _apply_coalesce_key)
+#
+# Tie rule matches the row-level merge: state wins an exact
+# (ts, event_seq) tie against a re-delivered source event.
+
+
+def coalesce_candidates(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Per-row candidate structs. Requires ``_deleted`` (bool), ``_src_rank``
+    (0 source / 1 state), ``_n_s`` (long), ``_has_t`` (bool) and — when
+    stored versions can collide on order — ``_commit_seq`` (long) columns;
+    keeps every other column (keys, salt) untouched."""
+    if "_commit_seq" not in df.columns:
+        df = df.withColumn("_commit_seq", F.lit(0).cast("long"))
+    order = [F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]
+    is_src = F.col("_src_rank") == 0
+    tgt = F.when(
+        ~is_src,
+        F.struct(
+            *order,
+            F.col("_commit_seq").alias("cseq"),
+            F.col("_deleted").alias("del"),
+            # payload nested one level so user column names can never
+            # collide with the o*/cseq/del meta fields
+            F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("p"),
+        ),
+    )
+    src_hw = F.when(is_src, F.struct(*order))
+    del_src = F.when(is_src & F.col("_deleted"), F.struct(*order))
+    cands = {
+        f"_cand_{c}": F.when(
+            is_src & ~F.col("_deleted") & F.col(c).isNotNull(),
+            F.struct(*order, F.col(c).alias("v")),
+        )
+        for c in payload_cols
+    }
+    keep = [
+        c for c in df.columns
+        if c not in set(payload_cols) | set(order_cols)
+        | {"_deleted", "_src_rank", "_commit_seq"}
+    ]
+    return df.select(
+        *keep,
+        tgt.alias("_tgt"),
+        src_hw.alias("_src_hw"),
+        del_src.alias("_del_src"),
+        *[expr.alias(name) for name, expr in cands.items()],
+    )
+
+
+def coalesce_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """One aggregation level over candidate columns; output has the same
+    candidate column names, so the salted pre-phase composes by re-applying
+    this function on coarser group columns."""
+    return df.groupBy(*group_cols).agg(
+        F.max("_tgt").alias("_tgt"),
+        F.max("_src_hw").alias("_src_hw"),
+        F.max("_del_src").alias("_del_src"),
+        *[F.max(f"_cand_{c}").alias(f"_cand_{c}") for c in payload_cols],
+        F.sum("_n_s").alias("_n_s"),
+        F.max("_has_t").alias("_has_t"),
+    )
+
+
+def coalesce_finalize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    carry_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Combine aggregated candidates into output rows shaped exactly like
+    the row-level merge aggregation (keys + carry + _src_rank + _n_s +
+    _has_t), plus ``_changed`` — true iff the resolved row differs from
+    prior state (row won by a source event, or any column filled from one),
+    which is what a MoR delta append must persist (in coalesce mode a stale
+    conflict event can still fill null columns)."""
+    n = len(order_cols)
+    payload = set(payload_cols)
+    tgt = F.col("_tgt")
+    tgt_order = F.when(
+        tgt.isNotNull(),
+        F.struct(*[F.col(f"_tgt.o{i}").alias(f"o{i}") for i in range(n)]),
+    )
+    src_hw = F.col("_src_hw")
+    del_src = F.col("_del_src")
+    applied = src_hw.isNotNull() & (
+        tgt_order.isNull() | (src_hw > tgt_order)
+    )
+    deleted = F.when(applied, src_hw.eqNullSafe(del_src)).otherwise(
+        F.col("_tgt.del")
+    )
+    del_hw = F.greatest(
+        del_src, F.when(F.col("_tgt.del"), tgt_order)
+    )
+
+    def _ranked(order_struct, rank: int, value):
+        return F.struct(
+            *[order_struct.getField(f"o{i}").alias(f"o{i}") for i in range(n)],
+            F.lit(rank).alias("rank"),
+            value.alias("v"),
+        )
+
+    picks: dict[str, Column] = {}
+    filled: list[Column] = []
+    for c in payload_cols:
+        cand = F.col(f"_cand_{c}")
+        cand_order = F.when(
+            cand.isNotNull(),
+            F.struct(
+                *[F.col(f"_cand_{c}.o{i}").alias(f"o{i}") for i in range(n)]
+            ),
+        )
+        tgt_ok = (
+            tgt.isNotNull() & ~F.col("_tgt.del")
+            & F.col(f"_tgt.p.{c}").isNotNull()
+            & (del_src.isNull() | (tgt_order > del_src))
+        )
+        tgt_c = F.when(tgt_ok, _ranked(tgt_order, 1, F.col(f"_tgt.p.{c}")))
+        src_ok = cand.isNotNull() & (
+            del_hw.isNull() | (cand_order > del_hw)
+        )
+        src_c = F.when(src_ok, _ranked(cand_order, 0, F.col(f"_cand_{c}.v")))
+        picks[c] = F.greatest(tgt_c, src_c).getField("v")
+        filled.append(src_ok & (tgt_c.isNull() | (src_c > tgt_c)))
+
+    out_cols: list[Column] = [F.col(k) for k in key_cols]
+    for c in carry_cols:
+        if c in payload:
+            out_cols.append(picks[c].alias(c))
+        elif c in order_cols:
+            i = list(order_cols).index(c)
+            out_cols.append(
+                F.when(applied, F.col(f"_src_hw.o{i}"))
+                .otherwise(F.col(f"_tgt.o{i}")).alias(c)
+            )
+        elif c == "_deleted":
+            out_cols.append(deleted.alias("_deleted"))
+        else:  # pragma: no cover - carry col outside payload/order/meta
+            raise ValueError(f"unhandled carry column {c!r}")
+    changed = applied
+    for flag in filled:
+        changed = changed | flag
+    return df.select(
+        *out_cols,
+        F.when(applied, F.lit(0)).otherwise(F.lit(1)).alias("_src_rank"),
+        "_n_s",
+        "_has_t",
+        changed.alias("_changed"),
+    )
+
+
+def coalesce_lww_reduce(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    deleted: Column | None = None,
+    n_salt: int = 1,
+    keep_deleted: bool = False,
+) -> DataFrame:
+    """One-shot field-level LWW over a plain event table.
+
+    Per key: each payload column = value from the newest (by ``order_cols``)
+    row where it is non-null; rows matching ``deleted`` act as tombstones
+    (they contribute no values and cut all older candidates); the output's
+    order columns come from the newest row overall. ``keep_deleted=False``
+    drops keys whose newest row is a tombstone.
+    """
+    payload_cols = [
+        c for c in df.columns if c not in set(key_cols) | set(order_cols)
+    ]
+    base = df.withColumns(
+        {
+            "_deleted": (deleted if deleted is not None else F.lit(False)),
+            "_src_rank": F.lit(0),
+            "_n_s": F.lit(0).cast("long"),
+            "_has_t": F.lit(False),
+        }
+    )
+    cand = coalesce_candidates(base, order_cols, payload_cols)
+    if n_salt and n_salt > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(f"_src_hw.o{i}") for i in range(len(order_cols))]),
+            F.lit(n_salt),
+        )
+        pre = coalesce_agg(
+            cand.withColumn("_salt", salt), [*key_cols, "_salt"], payload_cols
+        )
+        cand = pre.drop("_salt")
+    agg = coalesce_agg(cand, key_cols, payload_cols)
+    carry = [*payload_cols, *order_cols, "_deleted"]
+    out = coalesce_finalize(agg, key_cols, carry, order_cols, payload_cols)
+    if not keep_deleted:
+        out = out.filter(~F.col("_deleted"))
+    return out.drop("_src_rank", "_n_s", "_has_t", "_changed", "_deleted")
 
 
 def lww_rank(

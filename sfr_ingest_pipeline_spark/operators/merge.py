@@ -67,10 +67,16 @@ from pyspark.sql import types as T
 
 from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
 from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
+from sfr_ingest_pipeline_spark.operators.lww import (
+    coalesce_agg,
+    coalesce_candidates,
+    coalesce_finalize,
+)
 from sfr_ingest_pipeline_spark.schema import widen_schema
 from sfr_ingest_pipeline_spark.table.transcript_table import (
     TranscriptTable,
     bucket_expr,
+    commit_seq_col,
     physical_schema,
 )
 
@@ -182,7 +188,7 @@ def apply_batch(
     src = src.withColumn("_deleted", F.col("op") == F.lit("D"))
     src = src.select(*phys_cols).withColumns(
         {"_src_rank": F.lit(0), "_n_s": F.lit(1).cast("long"),
-         "_has_t": F.lit(False)}
+         "_has_t": F.lit(False), "_commit_seq": F.lit(0).cast("long")}
     )
 
     # ---- touched buckets + per-bucket conv_id ranges (manifest pruning) ----
@@ -260,20 +266,47 @@ def apply_batch(
     target = table.scan(spark, with_meta=True, files=read_files)
     target = _null_fill(target, phys).select(*phys_cols).withColumns(
         {"_src_rank": F.lit(1), "_n_s": F.lit(0).cast("long"),
-         "_has_t": F.lit(True)}
+         "_has_t": F.lit(True), "_commit_seq": commit_seq_col()}
     )
 
     # ---- fused LWW + merge aggregation -------------------------------------
+    # row mode: whole-row max_by winner. coalesce mode: field-level LWW
+    # (operators/lww.py coalesce_* stages) — same single wide shuffle, the
+    # aggregate carries one order-leading candidate struct per payload
+    # column instead of one winner struct. ``_changed`` marks rows whose
+    # resolved state differs from the prior target state (row won by the
+    # batch, or any column filled by a batch event) — that, not
+    # ``_src_rank``, is what a MoR delta append must persist, because in
+    # coalesce mode a stale (conflict) event can still fill null columns.
     unioned = src.unionByName(target)
-    if config.n_salt and config.n_salt > 1:
-        # salted pre-phase for pathological hot keys: reduce on (key, salt)
-        # first so no single reducer materializes a whole hot key
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
-                      F.lit(config.n_salt))
-        pre = _merge_agg(unioned.withColumn("_salt", salt),
-                         [*key_cols, "_salt"], carry_cols, order_cols)
-        unioned = pre.drop("_salt")
-    resolved = _merge_agg(unioned, key_cols, carry_cols, order_cols)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
+                  F.lit(config.n_salt))
+    if config.column_merge == "coalesce":
+        payload_cols = [c for c in carry_cols
+                        if c not in order_cols and c != "_deleted"]
+        cand = coalesce_candidates(unioned, order_cols, payload_cols)
+        if config.n_salt and config.n_salt > 1:
+            cand_salt = F.pmod(
+                F.xxhash64(*[F.col(f"_src_hw.o{i}")
+                             for i in range(len(order_cols))]),
+                F.lit(config.n_salt),
+            )
+            pre = coalesce_agg(cand.withColumn("_salt", cand_salt),
+                               [*key_cols, "_salt"], payload_cols)
+            cand = pre.drop("_salt")
+        agg = coalesce_agg(cand, key_cols, payload_cols)
+        resolved = coalesce_finalize(agg, key_cols, carry_cols, order_cols,
+                                     payload_cols)
+    else:
+        if config.n_salt and config.n_salt > 1:
+            # salted pre-phase for pathological hot keys: reduce on
+            # (key, salt) first so no single reducer materializes a whole
+            # hot key
+            pre = _merge_agg(unioned.withColumn("_salt", salt),
+                             [*key_cols, "_salt"], carry_cols, order_cols)
+            unioned = pre.drop("_salt")
+        resolved = _merge_agg(unioned, key_cols, carry_cols, order_cols)
+        resolved = resolved.withColumn("_changed", F.col("_src_rank") == 0)
 
     obs_m = Observation(f"merge_{batch_id}_{uuid.uuid4().hex[:6]}")
     applied_flag = F.col("_src_rank") == 0
@@ -296,11 +329,11 @@ def apply_batch(
     # ONE write job either way — the kind is per-bucket at harvest time.
     if config.merge_mode == "mor":
         keep_filter = F.col("_bucket").isin([int(b) for b in compact]) | (
-            F.col("_src_rank") == 0
+            F.col("_changed")
         )
         out = out.filter(keep_filter)
 
-    out = out.drop("_src_rank", "_n_s", "_has_t")
+    out = out.drop("_src_rank", "_n_s", "_has_t", "_changed")
     if normalize and "text" in out.columns:
         # idempotent -> safe on carried-forward target rows too
         out = out.withColumn("text", normalize_text_udf("text"))

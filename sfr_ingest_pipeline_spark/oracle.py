@@ -91,8 +91,76 @@ class ReplayResult:
     counters: list[BatchCounters] = field(default_factory=list)
 
 
-def simulate_replay(batches: list[pd.DataFrame], normalize: bool = True) -> ReplayResult:
-    """Sequential apply with per-batch counters (engine-contract mirror)."""
+def _apply_coalesce_key(
+    state: dict[tuple, dict], key: tuple, rows: list[dict],
+    payload_cols: list[str],
+) -> bool:
+    """Field-level combine for one key's batch rows (in (ts, event_seq)
+    order) against committed state — the exact formulas of the engine's
+    coalesce aggregation (operators/lww.py coalesce_finalize). Returns
+    whether the ROW winner came from the batch (the applied/conflict
+    counter stays row-level in coalesce mode too)."""
+    src_hw = (rows[-1]["ts"], rows[-1]["event_seq"])
+    del_src = None
+    cand: dict[str, tuple] = {}
+    for r in rows:
+        o = (r["ts"], r["event_seq"])
+        if r["op"] == "D":
+            del_src = o
+            continue
+        for c in payload_cols:
+            v = r.get(c)
+            if v is not None and not pd.isna(v):
+                cand[c] = (o, v)
+
+    tgt = state.get(key)
+    tgt_order = (tgt["ts"], tgt["event_seq"]) if tgt is not None else None
+    applied_row = tgt is None or src_hw > tgt_order
+    deleted = (src_hw == del_src) if applied_row else tgt["_deleted"]
+    del_hw = max(
+        (d for d in (
+            del_src, tgt_order if (tgt is not None and tgt["_deleted"]) else None,
+        ) if d is not None),
+        default=None,
+    )
+
+    new_row: dict = {}
+    for c in payload_cols:
+        tgt_c = None
+        if (
+            tgt is not None and not tgt["_deleted"]
+            and tgt.get(c) is not None and not pd.isna(tgt.get(c))
+            and (del_src is None or tgt_order > del_src)
+        ):
+            tgt_c = (tgt_order, 1, tgt[c])
+        src_c = None
+        if c in cand and (del_hw is None or cand[c][0] > del_hw):
+            src_c = (cand[c][0], 0, cand[c][1])
+        # max on (order, rank): target wins exact (ts, event_seq) ties
+        pick = max(
+            (x for x in (tgt_c, src_c) if x is not None),
+            key=lambda x: (x[0], x[1]), default=None,
+        )
+        new_row[c] = pick[2] if pick is not None else None
+    win_order = src_hw if applied_row else tgt_order
+    new_row["ts"], new_row["event_seq"] = win_order
+    new_row["_deleted"] = deleted
+    new_row["conv_id"], new_row["turn_idx"] = key
+    state[key] = new_row
+    return applied_row
+
+
+def simulate_replay(
+    batches: list[pd.DataFrame], normalize: bool = True,
+    column_merge: str = "row",
+) -> ReplayResult:
+    """Sequential apply with per-batch counters (engine-contract mirror).
+
+    ``column_merge="coalesce"`` mirrors the engine's field-level LWW: a
+    partial-update event only overwrites the columns it carries non-null;
+    committed state acts as a single row at its row order (per-column
+    set-times are not retained across commits — documented engine
+    semantics); deletes cut all older candidates."""
     state: dict[tuple, dict] = {}  # key -> row dict incl. _deleted, ts, event_seq
     counters: list[BatchCounters] = []
     extra_cols: list[str] = []
@@ -109,17 +177,27 @@ def simulate_replay(batches: list[pd.DataFrame], normalize: bool = True) -> Repl
 
         applied = 0
         conflicts = 0
-        for row in winners.to_dict("records"):
-            key = (row["conv_id"], row["turn_idx"])
-            incoming = (row["ts"], row["event_seq"])
-            current = state.get(key)
-            if current is not None and incoming <= (current["ts"], current["event_seq"]):
-                conflicts += 1
-                continue
-            new_row = {k: v for k, v in row.items() if k != "op"}
-            new_row["_deleted"] = row["op"] == "D"
-            state[key] = new_row
-            applied += 1
+        if column_merge == "coalesce":
+            payload_cols = ["role", "text", "tool", *extra_cols]
+            for key, grp in b.groupby(["conv_id", "turn_idx"], sort=False):
+                if _apply_coalesce_key(
+                    state, tuple(key), grp.to_dict("records"), payload_cols
+                ):
+                    applied += 1
+                else:
+                    conflicts += 1
+        else:
+            for row in winners.to_dict("records"):
+                key = (row["conv_id"], row["turn_idx"])
+                incoming = (row["ts"], row["event_seq"])
+                current = state.get(key)
+                if current is not None and incoming <= (current["ts"], current["event_seq"]):
+                    conflicts += 1
+                    continue
+                new_row = {k: v for k, v in row.items() if k != "op"}
+                new_row["_deleted"] = row["op"] == "D"
+                state[key] = new_row
+                applied += 1
         counters.append(
             BatchCounters(batch_id, rows_in, dedup_dropped, applied, conflicts)
         )

@@ -1330,3 +1330,82 @@ ORACLE_SQL.update({
         GROUP BY p.event_id, p.user_id
     """,
 })
+
+
+def q_coalesce_field_lww(spark, sf_dir):
+    """Field-level LWW (column_merge="coalesce" semantics as a standalone
+    operator, operators/lww.py coalesce_lww_reduce): per user, each payload
+    column keeps its newest NON-NULL value by (ts, event_id); 'error'
+    events act as tombstones cutting older candidates; users whose newest
+    event is a tombstone drop out. Partial updates are synthesized
+    deterministically by masking columns (value < 50 hides event_type,
+    purchases hide value, event_id % 3 != 0 hides props), so most rows
+    really are partial. The DuckDB twin re-derives the fold with
+    arg_max ... FILTER over a rank ordering — independent formulation,
+    same semantics."""
+    from sfr_ingest_pipeline_spark.operators.lww import coalesce_lww_reduce
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") >= 50, F.col("event_type")).alias("etype"),
+        F.when(F.col("event_type") != "purchase",
+               F.round("value", 2)).alias("val"),
+        F.when(F.col("event_id") % 3 == 0, F.col("props")).alias("props_k"),
+        (F.col("event_type") == "error").alias("_del"),
+    )
+    out = coalesce_lww_reduce(
+        src, ["user_id"], ["ts", "event_id"],
+        deleted=F.col("_del"), n_salt=4,
+    )
+    return out.select(
+        "user_id", "etype", "val", "props_k", "ts",
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+QUERIES["coalesce_field_lww"] = q_coalesce_field_lww
+ORACLE_SQL.update({
+    # brute-force formulation of the field-level fold: rank events per
+    # user, take each column's arg_max over non-null candidates newer than
+    # the latest tombstone; the newest row overall supplies (ts, event_id)
+    # and tombstone-at-head drops the user
+    "coalesce_field_lww": """
+        WITH src AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value >= 50 THEN event_type END AS etype,
+                   CASE WHEN event_type <> 'purchase'
+                        THEN round(value, 2) END AS val,
+                   CASE WHEN event_id % 3 = 0 THEN props END AS props_k,
+                   (event_type = 'error') AS del
+            FROM events
+        ), ord AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS cnt
+            FROM src
+        ), delhw AS (
+            SELECT user_id, max(rn) AS del_rn FROM ord WHERE del
+            GROUP BY user_id
+        ), vals AS (
+            SELECT o.user_id,
+                   arg_max(o.etype, o.rn) FILTER (
+                       o.etype IS NOT NULL AND NOT o.del
+                       AND (d.del_rn IS NULL OR o.rn > d.del_rn)) AS etype,
+                   arg_max(o.val, o.rn) FILTER (
+                       o.val IS NOT NULL AND NOT o.del
+                       AND (d.del_rn IS NULL OR o.rn > d.del_rn)) AS val,
+                   arg_max(o.props_k, o.rn) FILTER (
+                       o.props_k IS NOT NULL AND NOT o.del
+                       AND (d.del_rn IS NULL OR o.rn > d.del_rn)) AS props_k
+            FROM ord o LEFT JOIN delhw d USING (user_id)
+            GROUP BY o.user_id
+        )
+        SELECT w.user_id, v.etype, v.val, v.props_k, w.ts,
+               w.event_id AS last_event_id
+        FROM (SELECT * FROM ord WHERE rn = cnt) w
+        JOIN vals v USING (user_id)
+        WHERE NOT w.del
+    """,
+})

@@ -18,6 +18,7 @@ from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
 from sfr_ingest_pipeline_spark.table.transcript_table import (
     TranscriptTable,
     bucket_expr,
+    resolve_stored_versions,
 )
 
 
@@ -42,13 +43,8 @@ def compact(
 
     df = table.scan(spark, with_meta=True, buckets=buckets)
     key_cols = list(table.snapshot.key_cols)
-    payload = [c for c in df.columns if c not in key_cols]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload]),
-        F.struct(*[F.col(c) for c in table.snapshot.order_cols]),
-    ).alias("_w")
-    resolved = df.groupBy(*key_cols).agg(winner).select(
-        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    resolved = resolve_stored_versions(
+        df, key_cols, table.snapshot.order_cols
     )
     if expire_tombstones_older_than_us is not None:
         keep = ~F.col("_deleted") | (
@@ -134,12 +130,25 @@ def verify_against_binlog(
     table_root: str,
     binlog_dirs,
     config: EngineConfig = DEFAULT_CONFIG,
+    column_merge: str = "row",
 ) -> dict:
     """U2 regression diff: independently reduce the binlog(s) with the batch
     LWW path and exceptAll both directions against the table — both empty
-    means the converged state is exactly the replay of the log."""
+    means the converged state is exactly the replay of the log.
+
+    ``column_merge="coalesce"`` verifies a field-level-merge table with the
+    distributed one-shot fold (operators/lww.py coalesce_lww_reduce). The
+    one-shot fold has EXACT per-column orders, while a multi-batch replay
+    folds committed state at its row order — so this check is exact for
+    single-batch replays (the bounded CLI default) and for histories
+    without cross-batch stale fills; batch-boundary-sensitive histories are
+    golden-tested against the sequential oracle instead
+    (tests/test_coalesce_merge.py)."""
     from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
-    from sfr_ingest_pipeline_spark.operators.lww import lww_reduce
+    from sfr_ingest_pipeline_spark.operators.lww import (
+        coalesce_lww_reduce,
+        lww_reduce,
+    )
     from sfr_ingest_pipeline_spark.sources.binlog import read_binlog
 
     table = TranscriptTable.load(table_root)
@@ -147,8 +156,17 @@ def verify_against_binlog(
 
     events = read_binlog(spark, binlog_dirs)
     events = events.withColumn("text", normalize_text_udf("text"))
-    winners = lww_reduce(events, list(config.key_cols), list(config.order_cols))
-    expected = winners.filter(F.col("op") != "D")
+    if column_merge == "coalesce":
+        expected = coalesce_lww_reduce(
+            events.withColumn("_is_del", F.col("op") == "D").drop("op"),
+            list(config.key_cols), list(config.order_cols),
+            deleted=F.col("_is_del"), n_salt=config.n_salt,
+        ).drop("_is_del")
+    else:
+        winners = lww_reduce(
+            events, list(config.key_cols), list(config.order_cols)
+        )
+        expected = winners.filter(F.col("op") != "D")
     # table columns the binlog never carried (post-evolution schema vs an
     # older-schema binlog) are null-filled WITH the table's type (an uncast
     # NULL would diff as a schema mismatch) and surfaced explicitly so a
@@ -202,13 +220,8 @@ def recluster(
 
     df = table.scan(spark, with_meta=True, buckets=buckets)
     key_cols = list(table.snapshot.key_cols)
-    payload = [c for c in df.columns if c not in key_cols]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload]),
-        F.struct(*[F.col(c) for c in table.snapshot.order_cols]),
-    ).alias("_w")
-    resolved = df.groupBy(*key_cols).agg(winner).select(
-        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    resolved = resolve_stored_versions(
+        df, key_cols, table.snapshot.order_cols
     )
 
     commit_rel = (
@@ -259,13 +272,8 @@ def rebucket(
 
     df = table.scan(spark, with_meta=True)
     key_cols = list(table.snapshot.key_cols)
-    payload = [c for c in df.columns if c not in key_cols]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload]),
-        F.struct(*[F.col(c) for c in table.snapshot.order_cols]),
-    ).alias("_w")
-    resolved = df.groupBy(*key_cols).agg(winner).select(
-        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    resolved = resolve_stored_versions(
+        df, key_cols, table.snapshot.order_cols
     )
 
     commit_rel = (

@@ -56,6 +56,43 @@ def bucket_expr(conv_col, n_buckets: int):
     return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets)).cast("int")
 
 
+def commit_seq_col():
+    """Commit order of the file a row came from, parsed from the data path
+    (every commit dir embeds its snapshot id: ``snap-00000012-<uuid>``).
+
+    Used as the FINAL tie-break when LWW-resolving stored multi-version
+    rows: in ``column_merge="coalesce"`` mode a stale event can fill null
+    columns without advancing the row's (ts, event_seq) order, so a MoR
+    delta may legitimately carry the same order as the version it
+    supersedes — commit recency disambiguates. Pure codegen, no metadata
+    join; zero effect in row mode (applied rows always advance the order,
+    so stored orders are collision-free)."""
+    return F.coalesce(
+        F.regexp_extract(
+            F.input_file_name(),
+            r"/(?:snap|compact|recluster|rebucket)-(\d+)-[0-9a-f]+/", 1,
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def resolve_stored_versions(df: DataFrame, key_cols, order_cols) -> DataFrame:
+    """Row-level LWW across stored versions of a key (base + MoR deltas):
+    winner by (order_cols..., commit recency). The commit tie-break makes
+    this exact for coalesce-mode tables too (see :func:`commit_seq_col`);
+    each stored version is a complete folded state, so the newest version
+    IS the current row."""
+    df = df.withColumn("_cseq", commit_seq_col())
+    payload = [c for c in df.columns if c not in set(key_cols) | {"_cseq"}]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in order_cols], F.col("_cseq")),
+    ).alias("_w")
+    return df.groupBy(*key_cols).agg(winner).select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+
+
 def physical_schema(logical: T.StructType) -> T.StructType:
     fields = list(logical.fields)
     fields.append(T.StructField("event_seq", T.LongType(), True))
@@ -345,14 +382,8 @@ class TranscriptTable:
         if with_meta:
             return df
         if any(f.kind == "delta" for f in files):
-            key_cols = list(self.snapshot.key_cols)
-            payload = [c for c in df.columns if c not in key_cols]
-            winner = F.max_by(
-                F.struct(*[F.col(c) for c in payload]),
-                F.struct(*[F.col(c) for c in self.snapshot.order_cols]),
-            ).alias("_w")
-            df = df.groupBy(*key_cols).agg(winner).select(
-                *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+            df = resolve_stored_versions(
+                df, list(self.snapshot.key_cols), self.snapshot.order_cols
             )
         return df.filter(~F.col("_deleted")).drop(*META_COLS)
 
@@ -382,14 +413,8 @@ class TranscriptTable:
             )
         df = df.filter(F.col("conv_id") == conv_id)
         if any(f.kind == "delta" for f in files):
-            key_cols = list(self.snapshot.key_cols)
-            payload = [c for c in df.columns if c not in key_cols]
-            winner = F.max_by(
-                F.struct(*[F.col(c) for c in payload]),
-                F.struct(*[F.col(c) for c in self.snapshot.order_cols]),
-            ).alias("_w")
-            df = df.groupBy(*key_cols).agg(winner).select(
-                *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload],
+            df = resolve_stored_versions(
+                df, list(self.snapshot.key_cols), self.snapshot.order_cols
             )
         return (
             df.filter(~F.col("_deleted")).drop(*META_COLS)
