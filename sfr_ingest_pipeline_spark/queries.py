@@ -1409,3 +1409,72 @@ ORACLE_SQL.update({
         WHERE NOT w.del
     """,
 })
+
+
+def q_date_ranges(spark, sf_dir):
+    """Fuzzy display-date parsing (functions/dates.py parse_display_date,
+    SURVEY.md §2.8 F2): display strings are synthesized deterministically
+    from o_orderdate in seven reference-observed shapes ("1999", "[1999]",
+    "May 1999", ISO day, "1999-05", "c1999.", "n.d.") and parsed back to
+    (date_low, date_high) by the Arrow-batched pandas UDF. The DuckDB twin
+    derives the expected range DIRECTLY from o_orderdate — an independent
+    formulation, so the hash match proves the parser inverts every shape."""
+    from sfr_ingest_pipeline_spark.functions.dates import parse_display_date
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 7
+    disp = (
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(k == 1, F.concat(F.lit("["), F.date_format("o_orderdate", "yyyy"),
+                               F.lit("]")))
+        .when(k == 2, F.date_format("o_orderdate", "MMMM yyyy"))
+        .when(k == 3, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k == 4, F.date_format("o_orderdate", "yyyy-MM"))
+        .when(k == 5, F.concat(F.lit("c"), F.date_format("o_orderdate", "yyyy"),
+                               F.lit(".")))
+        .otherwise(F.lit("n.d."))
+    )
+    parsed = o.select(
+        "o_orderkey", disp.alias("display_date")
+    ).withColumn("_r", parse_display_date("display_date"))
+    # timestamps, not dates: Spark dates surface in pandas as object
+    # columns of datetime.date, which the frame compare can't align with
+    # DuckDB's datetime64 — the value domain is unchanged
+    return parsed.select(
+        "o_orderkey", "display_date",
+        F.col("_r.date_low").cast("timestamp").alias("date_low"),
+        F.col("_r.date_high").cast("timestamp").alias("date_high"),
+    )
+
+
+QUERIES["date_ranges"] = q_date_ranges
+ORACLE_SQL.update({
+    # expected ranges derived straight from o_orderdate (never re-parsing
+    # the display string) — independent of the UDF's regex rules
+    "date_ranges": """
+        SELECT o_orderkey,
+               CASE o_orderkey % 7
+                 WHEN 0 THEN strftime(o_orderdate, '%Y')
+                 WHEN 1 THEN '[' || strftime(o_orderdate, '%Y') || ']'
+                 WHEN 2 THEN strftime(o_orderdate, '%B %Y')
+                 WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
+                 WHEN 4 THEN strftime(o_orderdate, '%Y-%m')
+                 WHEN 5 THEN 'c' || strftime(o_orderdate, '%Y') || '.'
+                 ELSE 'n.d.' END AS display_date,
+               CASE o_orderkey % 7
+                 WHEN 2 THEN date_trunc('month', o_orderdate)::TIMESTAMP
+                 WHEN 3 THEN o_orderdate::TIMESTAMP
+                 WHEN 4 THEN date_trunc('month', o_orderdate)::TIMESTAMP
+                 WHEN 6 THEN NULL
+                 ELSE make_date(year(o_orderdate), 1, 1)::TIMESTAMP
+               END AS date_low,
+               CASE o_orderkey % 7
+                 WHEN 2 THEN last_day(o_orderdate)::TIMESTAMP
+                 WHEN 3 THEN o_orderdate::TIMESTAMP
+                 WHEN 4 THEN last_day(o_orderdate)::TIMESTAMP
+                 WHEN 6 THEN NULL
+                 ELSE make_date(year(o_orderdate), 12, 31)::TIMESTAMP
+               END AS date_high
+        FROM orders
+    """,
+})
