@@ -114,12 +114,13 @@ def cmd_history(args) -> int:
     table = TranscriptTable.load(args.table)
     for snap in table.history():
         props = snap.properties
+        files = TranscriptTable(args.table, snap).files  # one manifest read
         print(json.dumps({
             "snapshot_id": snap.snapshot_id,
             "parent_id": snap.parent_id,
             "schema_id": snap.schema_id,
-            "files": len(TranscriptTable(args.table, snap).files),
-            "rows": sum(f.rows for f in TranscriptTable(args.table, snap).files),
+            "files": len(files),
+            "rows": sum(f.rows for f in files),
             "batch_id": props.get("batch_id"),
             "counters": props.get("counters"),
             "touched_buckets": sorted(props.get("lineage", {}).keys(), key=int)
@@ -140,7 +141,9 @@ def cmd_scan(args) -> int:
     df = df.orderBy("conv_id", "turn_idx")
     if args.limit:
         df = df.limit(args.limit)
-    for row in df.collect():
+    # toLocalIterator: one partition in driver memory at a time — a scan of
+    # the 42M-row bench table must not OOM the driver just to print
+    for row in df.toLocalIterator():
         print(json.dumps({k: str(v) for k, v in row.asDict().items()}, ensure_ascii=False))
     return 0
 
@@ -233,15 +236,16 @@ def cmd_changes(args) -> int:
     df = t.changes_between(spark, args.from_snapshot, to_id)
     if args.limit:
         df = df.limit(args.limit)
-    rows = df.collect()
-    for row in rows:
+    counts: dict = {}
+    n = 0
+    # stream partition-at-a-time; tally the summary while printing
+    for row in df.toLocalIterator():
         print(json.dumps({k: str(v) for k, v in row.asDict().items()},
                          ensure_ascii=False))
-    counts = {}
-    for row in rows:
         counts[row["_change_type"]] = counts.get(row["_change_type"], 0) + 1
+        n += 1
     print(json.dumps({"from": args.from_snapshot, "to": to_id,
-                      "changes": len(rows), **counts}), file=sys.stderr)
+                      "changes": n, **counts}), file=sys.stderr)
     return 0
 
 
@@ -265,11 +269,12 @@ def cmd_query(args) -> int:
     df = QUERIES[args.name](spark, args.sf_dir)
     if args.limit:
         df = df.limit(args.limit)
-    rows = df.collect()
-    for row in rows:
+    n = 0
+    for row in df.toLocalIterator():
         print(json.dumps({k: str(v) for k, v in row.asDict().items()},
                          ensure_ascii=False))
-    print(json.dumps({"query": args.name, "rows": len(rows),
+        n += 1
+    print(json.dumps({"query": args.name, "rows": n,
                       "sec": round(time.time() - t0, 2)}), file=sys.stderr)
     return 0
 

@@ -110,6 +110,11 @@ def compact_documents(spark: SparkSession, out_dir: str) -> int:
     cur = cur.observe(obs, F.count(F.lit(1)).alias("n"))
     tmp = f"{out_dir.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
     cur.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(out_dir)
+    # swap via rename-aside so a usable view exists at every step: a crash
+    # between the two renames leaves the old view under .old-* (recoverable),
+    # never a missing directory as rmtree-then-replace would
+    old = f"{out_dir.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(out_dir, old)
     os.replace(tmp, out_dir)
+    shutil.rmtree(old)
     return int(obs.get["n"])

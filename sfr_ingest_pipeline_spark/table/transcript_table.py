@@ -246,12 +246,26 @@ class TranscriptTable:
                     continue
         return sorted(out)
 
-    def load_snapshot_as_of_batch(self, batch_id: int) -> "TranscriptTable":
-        """Time travel: latest snapshot whose committed batch_id <= batch_id.
+    def _rollback_points(self) -> list[int]:
+        """Snapshot ids of rollback commits (sidecar written by rollback()):
+        each one restores an EARLIER batch-id marker, so batch ids are only
+        monotone non-decreasing WITHIN the segments these points delimit."""
+        path = os.path.join(self._meta_dir, "rollback-points.json")
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return sorted(json.load(f))
 
-        Batch ids are monotone non-decreasing in snapshot ids (maintenance
-        commits carry the parent's marker forward), so this binary-searches
-        the snapshot log: O(log n_commits) JSON reads, not O(n_commits)."""
+    def load_snapshot_as_of_batch(self, batch_id: int) -> "TranscriptTable":
+        """Time travel: NEWEST snapshot whose committed batch_id <= batch_id.
+
+        Batch ids are monotone non-decreasing in snapshot ids within each
+        rollback-free segment of the log (maintenance commits carry the
+        parent's marker forward; a rollback commit restores an earlier
+        marker and starts a new monotone segment). Segments are
+        binary-searched newest-first: O(rollbacks * log n_commits) JSON
+        reads — O(log n) for the common rollback-free log — and correct
+        across rollbacks, where a whole-log binary search is not."""
 
         def _key(sid: int):
             with open(self._snap_path(self.root, sid), encoding="utf-8") as f:
@@ -261,18 +275,30 @@ class TranscriptTable:
 
         ids = [i for i in self._snapshot_ids_on_disk()
                if i <= self.snapshot.snapshot_id]
-        lo, hi, best = 0, len(ids) - 1, None
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            b, s = _key(ids[mid])
-            if b <= batch_id:
-                best = s
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        if best is None:
-            raise ValueError(f"no snapshot at or before batch {batch_id}")
-        return TranscriptTable(self.root, best)
+        points = [p for p in self._rollback_points()
+                  if p <= self.snapshot.snapshot_id]
+        # segment boundaries: each rollback snapshot starts a new segment
+        starts = [ids[0] if ids else 0, *points]
+        segments = []  # (start_id, end_id) inclusive, newest last
+        for i, st in enumerate(starts):
+            end = starts[i + 1] - 1 if i + 1 < len(starts) else (
+                ids[-1] if ids else -1
+            )
+            segments.append((st, end))
+        for st, end in reversed(segments):
+            seg = [i for i in ids if st <= i <= end]
+            lo, hi, best = 0, len(seg) - 1, None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                b, s = _key(seg[mid])
+                if b <= batch_id:
+                    best = s
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            if best is not None:
+                return TranscriptTable(self.root, best)
+        raise ValueError(f"no snapshot at or before batch {batch_id}")
 
     # ------------------------------------------------------------ metadata
     @property
@@ -471,7 +497,13 @@ class TranscriptTable:
         buckets = {f.bucket for f in added}
 
         def _aligned_state(t: "TranscriptTable") -> DataFrame:
-            df = t.scan(spark, buckets=buckets)
+            # bucket ids are layout-dependent: across a rebucket the 'to'
+            # snapshot's candidate bucket set means nothing under the old
+            # layout (a shrink would silently skip old buckets >= new_n and
+            # misreport their keys as inserts) — scan that side unpruned;
+            # the left-semi join on candidate keys still bounds the output
+            prune = buckets if t.n_buckets == new_t.n_buckets else None
+            df = t.scan(spark, buckets=prune)
             have = set(df.columns)
             return df.select(
                 *[
@@ -637,6 +669,16 @@ class TranscriptTable:
             order_cols=list(target.order_cols),
         )
         _atomic_write_json(self._snap_path(self.root, snap.snapshot_id), snap.to_json())
+        # record the monotonicity break BEFORE the commit point so time
+        # travel by batch id stays exact (load_snapshot_as_of_batch segments
+        # its binary search at these ids); a crash between the two writes
+        # leaves an unreferenced snapshot + a harmless extra boundary
+        points = set(self._rollback_points())
+        points.add(snap.snapshot_id)
+        _atomic_write_json(
+            os.path.join(self._meta_dir, "rollback-points.json"),
+            sorted(points),
+        )
         # COMMIT POINT:
         _atomic_write_text(
             os.path.join(self._meta_dir, "version-hint.text"), str(snap.snapshot_id)

@@ -400,3 +400,91 @@ def test_changes_between_across_schema_evolution(spark, tmp_path, small_cfg):
     rows = chg.collect()
     got = {(r.conv_id): (r._change_type, r.text, r.tool_meta) for r in rows}
     assert got == {"c1": ("update", "a2", '{"v":1}')}, got    # c2 untouched
+
+
+def test_as_of_batch_after_rollback(spark, tmp_path, small_cfg):
+    """ADVICE round 2: rollback restores an earlier batch-id marker, which
+    breaks the batch-id monotonicity a whole-log binary search assumes.
+    Time travel by batch must return the NEWEST snapshot with
+    batch_id <= target — including snapshots committed after the rollback."""
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    root = str(tmp_path / "rb_tt")
+    TranscriptTable.create(root, n_buckets=4)
+    batches = [
+        pd.DataFrame([ev("I", "c1", 0, f"v{i}", i + 1)]) for i in range(4)
+    ]
+    sids = []
+    for i, b in enumerate(batches[:3]):
+        r = apply_batch(spark, root, spark.createDataFrame(b), i, config=small_cfg)
+        sids.append(r.snapshot_id)
+
+    t = TranscriptTable.load(root)
+    t = t.rollback(sids[1])            # back to batch 1 (text v1)
+    # re-apply batch 2 then batch 3 post-rollback
+    for i in (2, 3):
+        apply_batch(spark, root, spark.createDataFrame(batches[i]), i,
+                    config=small_cfg)
+    t = TranscriptTable.load(root)
+
+    def text_at(batch):
+        rows = t.load_snapshot_as_of_batch(batch).scan(spark).collect()
+        return rows[0]["text"] if rows else None
+
+    # batch 2's newest snapshot is the POST-rollback one (text v2), not the
+    # stale pre-rollback commit a naive whole-log binary search can land on
+    assert text_at(2) == "v2"
+    assert text_at(3) == "v3"
+    assert text_at(1) == "v1"
+    # the as-of-1 snapshot must be the rollback commit itself (newest with
+    # batch marker 1), not the original batch-1 commit
+    assert t.load_snapshot_as_of_batch(1).snapshot.snapshot_id > sids[2]
+
+
+def test_changes_between_across_shrinking_rebucket(spark, tmp_path, small_cfg):
+    """ADVICE round 2: bucket ids are layout-dependent — across a SHRINKING
+    rebucket the old side must not be pruned with new-layout bucket ids, or
+    unchanged keys in dropped buckets misreport as inserts."""
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.table.maintenance import rebucket
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    root = str(tmp_path / "shrink")
+    TranscriptTable.create(root, n_buckets=8)
+    convs = [f"conv-{i:04d}" for i in range(24)]
+    b0 = pd.DataFrame([ev("I", c, 0, "base", i + 1)
+                       for i, c in enumerate(convs)])
+    r0 = apply_batch(spark, root, spark.createDataFrame(b0), 0,
+                     config=small_cfg)
+
+    rebucket(spark, root, new_n_buckets=2, config=small_cfg)
+    # update exactly ONE conversation after the shrink
+    b1 = pd.DataFrame([ev("U", convs[0], 0, "edited", 100)])
+    apply_batch(spark, root, spark.createDataFrame(b1), 1, config=small_cfg)
+
+    t = TranscriptTable.load(root)
+    changes = t.changes_between(spark, r0.snapshot_id).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r["_change_type"], set()).add(r["conv_id"])
+    # only the edited conversation changed; nothing misreports as insert
+    assert by_type == {"update": {convs[0]}}, by_type
