@@ -125,8 +125,16 @@ def srp_topk(
     n_planes: int = 6,
     seed: int = 42,
     hamming_radius: int = 0,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    ``max_bucket_size`` is the hot-bucket guard (same contract as
+    ``lsh_candidate_pairs``): a corpus bucket holding more than this many
+    vectors is degenerate for the chosen n_planes (e.g. near-identical
+    embeddings) and contributes NO candidates, so a pathological corpus
+    completes linearly instead of Q x N. Size n_planes so real buckets stay
+    under the cap; None disables.
 
     ``hamming_radius=1`` enables multi-probe: the query additionally probes
     every bucket one bit-flip away (n_planes extra probes), trading
@@ -144,6 +152,12 @@ def srp_topk(
         l2_norm(F.col(vec_col)).alias("_cnorm"),
         srp_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            c.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size).select("_bucket")
+        )
+        c = c.join(F.broadcast(hot), "_bucket", "left_anti")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),

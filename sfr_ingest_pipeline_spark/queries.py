@@ -460,7 +460,15 @@ def q_embedding_near_dups(spark, sf_dir):
         V.l2_norm(F.col("embedding")).alias("_norm"),
         V.srp_bucket(F.col("embedding"), dim=64, n_planes=4).alias("_bkt"),
     )
-    left = b.select(
+    # hot-bucket guard (round-2 verdict item 6): pairs meet in the smaller
+    # id's HOME bucket (the id_a < id_b filter keeps only that meeting), so
+    # dropping hot home buckets from the left side caps pair work while the
+    # oracle mirrors the same condition on a's bucket count
+    hot = (
+        b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > 1024).select("_bkt")
+    )
+    left = b.join(F.broadcast(hot), "_bkt", "left_anti").select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
         F.col("_norm").alias("_na"), F.col("_bkt").alias("_ba"),
     )
@@ -988,6 +996,8 @@ ORACLE_SQL.update({
             SELECT vec_id, embedding,
                    {_srp_bucket_sql('embedding')} AS bkt
             FROM embeddings
+        ), cnt AS (
+            SELECT bkt, count(*) AS n FROM b GROUP BY bkt
         ), scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    list_dot_product(CAST(q.embedding AS DOUBLE[]),
@@ -999,7 +1009,8 @@ ORACLE_SQL.update({
                    AS cos_raw
             FROM b q JOIN b c
               ON bit_count(xor(q.bkt::BIGINT, c.bkt::BIGINT)) <= 1
-            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            JOIN cnt ON cnt.bkt = c.bkt
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id AND cnt.n <= 1024
         ), ranked AS (
             SELECT query_id, neighbor_id, cos_raw,
                    row_number() OVER (PARTITION BY query_id
@@ -1103,6 +1114,8 @@ ORACLE_SQL.update({
             SELECT vec_id, embedding,
                    {_srp_bucket_sql('embedding')} AS bkt
             FROM embeddings
+        ), cnt AS (
+            SELECT bkt, count(*) AS n FROM b GROUP BY bkt
         )
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
@@ -1112,10 +1125,12 @@ ORACLE_SQL.update({
                   * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
                                           CAST(c.embedding AS DOUBLE[])))), 4)
                    AS cos_sim
-        FROM b a JOIN b c
+        FROM b a JOIN cnt ca ON ca.bkt = a.bkt
+        JOIN b c
           ON a.vec_id < c.vec_id
          AND bit_count(xor(a.bkt::BIGINT, c.bkt::BIGINT)) <= 1
-        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        WHERE ca.n <= 1024
+          AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                CAST(c.embedding AS DOUBLE[]))
               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                        CAST(a.embedding AS DOUBLE[])))

@@ -179,3 +179,52 @@ def test_kmeans_deterministic(spark):
     a = V.train_ivf_centroids(emb, k=4, iters=2).collect()
     b = V.train_ivf_centroids(emb, k=4, iters=2).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_srp_hot_bucket_cap_degenerate_corpus(spark):
+    """Round-2 verdict item 6: an all-identical corpus lands in ONE SRP
+    bucket; with the cap the bucket is degenerate and contributes no
+    candidates, so the probe join stays linear instead of Q x N. Vectors in
+    surviving buckets still rank normally."""
+    import pyspark.sql.functions as F
+
+    dim = 8
+    # 5k identical vectors (one bucket) + a handful of distinct ones
+    base = spark.range(5_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(j + 1)) for j in range(dim)]).alias("embedding"),
+    )
+    distinct = spark.range(5_000, 5_010).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.col("id") % (j + 2)).cast("double") - F.lit(float(j % 3))
+            for j in range(dim)
+        ]).alias("embedding"),
+    )
+    corpus = base.unionByName(distinct)
+    queries = corpus.filter(F.col("vec_id").isin(0, 5_001))
+    top = V.srp_topk(
+        corpus, queries, dim=dim, k=3, n_planes=4, hamming_radius=1,
+        max_bucket_size=64,
+    ).collect()
+    got = {}
+    for r in top:
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # the identical-corpus query finds nothing in its (capped) bucket and
+    # neighbors only via sub-cap probe buckets; bounded output proves no
+    # Q x N blowup materialized
+    assert all(n >= 5_000 for ns in got.values() for n in ns)
+    assert len(top) <= 3 * 2
+
+
+def test_srp_cap_none_restores_full_candidates(spark):
+    """cap=None must reproduce the uncapped candidate set (control)."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = V.srp_topk(emb, queries, dim=64, k=3, n_planes=4, hamming_radius=1,
+                   max_bucket_size=None).collect()
+    b = V.srp_topk(emb, queries, dim=64, k=3, n_planes=4, hamming_radius=1,
+                   max_bucket_size=1024).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))  # cap inert at this SF
