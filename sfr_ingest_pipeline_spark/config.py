@@ -55,6 +55,12 @@ class EngineConfig:
     #        the newest non-null value; a partial-update event only touches
     #        the columns it carries; tombstones still cut history.
     column_merge: str = "row"
+    # Watermark horizon for SOURCE-side transport dedup
+    # (dropDuplicatesWithinWatermark on event_seq in front of the MERGE).
+    # None disables. The LWW MERGE absorbs redeliveries exactly either way;
+    # enabling this trims them BEFORE they cost shuffle bytes — worth it
+    # when the transport redelivers a few percent at 10^10 events/day.
+    source_dedup_horizon: str | None = None
     compact_delta_files: int = 8
     target_file_rows: int = 2_000_000
     lww_two_phase_threshold: int = 100_000

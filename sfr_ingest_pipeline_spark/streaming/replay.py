@@ -81,6 +81,20 @@ def replay_stream(
     events = read_binlog_stream(
         spark, sources, max_files_per_trigger=max_files_per_trigger
     )
+    if config.source_dedup_horizon:
+        # transport-level dedup in front of the MERGE: drops exact
+        # redeliveries (same event_seq) within the watermark horizon before
+        # they cost shuffle bytes; converged state is identical with or
+        # without (the LWW MERGE absorbs duplicates exactly) — pinned by
+        # tests/test_streaming.py::test_source_dedup_converges_identically
+        from sfr_ingest_pipeline_spark.streaming.joins import (
+            dedup_within_watermark,
+        )
+
+        events = dedup_within_watermark(
+            events, id_cols=["event_seq"], ts_col="ts",
+            watermark_delay=config.source_dedup_horizon,
+        )
 
     results: list[MergeResult] = []
 

@@ -114,3 +114,32 @@ def test_schema_evolution_mid_replay(spark, tmp_path, binlog_evolving, small_cfg
     pd.testing.assert_frame_equal(got[cols], golden[cols], check_dtype=False)
     # pre-widening winners must be readable (null tool_meta among them)
     assert got["tool_meta"].isna().any()
+
+
+def test_source_dedup_converges_identically(spark, tmp_path, binlog_basic, small_cfg):
+    """config.source_dedup_horizon puts dropDuplicatesWithinWatermark in
+    front of the MERGE: converged state must be IDENTICAL with and without
+    (the LWW merge absorbs redeliveries exactly either way); the dedup only
+    moves where duplicates die — fewer rows reach the merge."""
+    from dataclasses import replace as dc_replace
+
+    binlog, _ = binlog_basic
+    plain_root = str(tmp_path / "t_plain")
+    dedup_root = str(tmp_path / "t_dedup")
+    r_plain = replay_stream(
+        spark, binlog, plain_root, str(tmp_path / "ck_p"),
+        config=small_cfg, max_files_per_trigger=2,
+    )
+    cfg = dc_replace(small_cfg, source_dedup_horizon="10 minutes")
+    r_dedup = replay_stream(
+        spark, binlog, dedup_root, str(tmp_path / "ck_d"),
+        config=cfg, max_files_per_trigger=2,
+    )
+    a = TranscriptTable.load(plain_root).scan(spark)
+    b = TranscriptTable.load(dedup_root).scan(spark)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # transport dupes died upstream of the merge
+    assert sum(r.rows_in for r in r_dedup) < sum(r.rows_in for r in r_plain)
+    assert sum(r.events_applied for r in r_dedup) == sum(
+        r.events_applied for r in r_plain
+    )
