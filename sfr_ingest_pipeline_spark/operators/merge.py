@@ -72,7 +72,7 @@ from sfr_ingest_pipeline_spark.operators.lww import (
     coalesce_candidates,
     coalesce_finalize,
 )
-from sfr_ingest_pipeline_spark.schema import widen_schema
+from sfr_ingest_pipeline_spark.schema import coercion_kind, widen_schema
 from sfr_ingest_pipeline_spark.table.transcript_table import (
     TranscriptTable,
     bucket_expr,
@@ -112,14 +112,38 @@ def _null_fill(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project df to `schema`'s columns, null-filling missing ones (additive
     schema evolution on both sides of the merge) and casting present ones to
     the table's declared types so file types never drift from the snapshot
-    schema (e.g. an int64 batch column into an int32 table column)."""
+    schema (e.g. an int64 batch column into an int32 table column).
+
+    Integral narrowings (coercion_kind "checked") guard every value with a
+    cast-roundtrip and raise on overflow — a silent wraparound would
+    corrupt keys; widen_schema already rejected lossy non-integral casts."""
     have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in schema.fields:
         if f.name in have:
             c = F.col(f.name)
             if have[f.name] != f.dataType:
-                c = c.cast(f.dataType)
+                if coercion_kind(have[f.name], f.dataType) == "checked":
+                    # try_cast (no ANSI throw) + roundtrip guard: raise a
+                    # deterministic engine error on overflow whether or not
+                    # spark.sql.ansi.enabled is on
+                    tried = c.try_cast(f.dataType)
+                    ok = c.isNull() | (
+                        tried.isNotNull() & (tried.cast(have[f.name]) == c)
+                    )
+                    c = F.when(ok, tried).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"value overflows table column "
+                                    f"{f.name!r} ({f.dataType.simpleString()}): "
+                                ),
+                                c.cast("string"),
+                            )
+                        )
+                    )
+                else:
+                    c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))

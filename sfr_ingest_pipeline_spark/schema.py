@@ -96,6 +96,45 @@ def spark_to_ddl(schema: T.StructType) -> str:
     return schema.simpleString()
 
 
+# Lossless coercions of an INCOMING batch type into the table's declared
+# type (Iceberg's promotion set, read in the write direction): the writer
+# casts these silently.
+_SAFE_COERCIONS: set[tuple[type, type]] = {
+    (T.IntegerType, T.LongType),
+    (T.ShortType, T.IntegerType),
+    (T.ShortType, T.LongType),
+    (T.FloatType, T.DoubleType),
+    (T.DateType, T.TimestampType),
+}
+
+_INTEGRAL_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def coercion_kind(batch_type: T.DataType, table_type: T.DataType) -> str:
+    """How a batch column may enter a table column of a different type.
+
+    "equal"   same type;
+    "safe"    lossless upcast (silent);
+    "checked" integral narrowing (pandas-sourced batches habitually carry
+              int64 for small ints) — allowed, but the writer guards every
+              value with a cast-roundtrip and raises on actual overflow
+              instead of silently truncating;
+    "reject"  anything else (string<->numeric, timestamp->date, renames
+              masquerading as type changes): fail loudly at plan time.
+    """
+    if batch_type == table_type:
+        return "equal"
+    if isinstance(batch_type, T.NullType):
+        return "safe"  # an all-null (void) batch column casts losslessly
+    if (type(batch_type), type(table_type)) in _SAFE_COERCIONS:
+        return "safe"
+    br = _INTEGRAL_RANK.get(type(batch_type))
+    tr = _INTEGRAL_RANK.get(type(table_type))
+    if br is not None and tr is not None and br > tr:
+        return "checked"
+    return "reject"
+
+
 def widen_schema(
     base: T.StructType, incoming: T.StructType, coerce_existing: bool = False
 ) -> T.StructType:
@@ -105,18 +144,32 @@ def widen_schema(
 
     For columns already in ``base`` the table schema is authoritative. With
     ``coerce_existing=True`` (the ingest path) a differing incoming type is
-    accepted — the writer casts the batch to the table type; otherwise a type
-    change raises."""
+    accepted only when casting the batch value to the table type is
+    lossless (int->long, float->double, date->timestamp, ...) or a
+    runtime-checked integral narrowing (see :func:`coercion_kind` — the
+    writer raises on actual overflow instead of silently truncating);
+    anything else raises at plan time with a remediation hint. Renames are
+    structurally indistinguishable from drop+add and are therefore treated
+    as ADD (the old column stays, null-filled); dropping or renaming
+    columns is deliberately not supported on the write path.
+    """
     base_names = {f.name for f in base.fields}
     out = list(base.fields)
     for f in incoming.fields:
         if f.name in base_names:
             existing = next(b for b in base.fields if b.name == f.name)
-            if existing.dataType != f.dataType and not coerce_existing:
-                raise ValueError(
-                    f"unsupported type evolution for column {f.name}: "
-                    f"{existing.dataType} -> {f.dataType}"
-                )
+            if existing.dataType != f.dataType:
+                kind = coercion_kind(f.dataType, existing.dataType)
+                if not coerce_existing or kind == "reject":
+                    raise ValueError(
+                        f"unsupported type evolution for column {f.name!r}: "
+                        f"batch carries {f.dataType.simpleString()} but the "
+                        f"table declares {existing.dataType.simpleString()}; "
+                        "only lossless upcasts and checked integral "
+                        "narrowings are applied automatically. Rewrite the "
+                        "table schema explicitly (or fix the producer) "
+                        "instead of relying on a lossy cast."
+                    )
         else:
             out.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(out)

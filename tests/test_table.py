@@ -488,3 +488,52 @@ def test_changes_between_across_shrinking_rebucket(spark, tmp_path, small_cfg):
         by_type.setdefault(r["_change_type"], set()).add(r["conv_id"])
     # only the edited conversation changed; nothing misreports as insert
     assert by_type == {"update": {convs[0]}}, by_type
+
+
+def test_non_additive_schema_changes_rejected(spark, tmp_path, small_cfg):
+    """Round-2 verdict item 9: lossy schema drift must fail loudly.
+    String-for-numeric and timestamp->date batches are rejected at plan
+    time; an integral narrowing is allowed but raises on actual overflow
+    instead of wrapping around; a genuinely small int64 batch still lands
+    (pandas ergonomics)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.schema import coercion_kind, widen_schema
+    from pyspark.sql import types as T
+
+    # plan-time classification
+    assert coercion_kind(T.LongType(), T.IntegerType()) == "checked"
+    with _pytest.raises(ValueError, match="unsupported type evolution"):
+        widen_schema(
+            T.StructType([T.StructField("ts", T.TimestampType())]),
+            T.StructType([T.StructField("ts", T.StringType())]),
+            coerce_existing=True,
+        )
+    with _pytest.raises(ValueError, match="unsupported type evolution"):
+        # timestamp batch into a DATE table column would drop the time part
+        widen_schema(
+            T.StructType([T.StructField("d", T.DateType())]),
+            T.StructType([T.StructField("d", T.TimestampType())]),
+            coerce_existing=True,
+        )
+
+    # runtime overflow guard on the checked narrowing (turn_idx is int32)
+    root = str(tmp_path / "reject")
+    TranscriptTable.create(root, n_buckets=2)
+    ok = pd.DataFrame([{
+        "op": "I", "conv_id": "c1", "turn_idx": 3, "role": "user",
+        "text": "fits", "tool": None,
+        "ts": pd.Timestamp("2026-01-01"), "event_seq": 1,
+    }])
+    res = apply_batch(spark, root, spark.createDataFrame(ok), 0, config=small_cfg)
+    assert res.committed and res.events_applied == 1
+
+    bad = pd.DataFrame([{
+        "op": "I", "conv_id": "c1", "turn_idx": 2**40, "role": "user",
+        "text": "overflows int32", "tool": None,
+        "ts": pd.Timestamp("2026-01-01"), "event_seq": 2,
+    }])
+    with _pytest.raises(Exception, match="overflows table column"):
+        apply_batch(spark, root, spark.createDataFrame(bad), 1, config=small_cfg)
