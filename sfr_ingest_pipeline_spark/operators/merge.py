@@ -41,7 +41,14 @@ Why this shape at 100 TB:
     files — O(batch) writes — and compacts a bucket back to base form after
     compact_delta_files deltas; readers LWW-reduce base+deltas. The fused
     aggregation is mode-agnostic: multi-version target rows entering the
-    union resolve to current state by the same max_by.
+    union resolve to current state by the same max_by;
+  * two MERGE semantics (config.column_merge): "row" replaces the whole row
+    with the LWW winner's payload; "coalesce" is the reference's field-level
+    LWW (update-if-non-null per column, SURVEY.md §3.1 E2) via the
+    operators/lww.py coalesce_* aggregation stages — same single shuffle,
+    candidate structs per payload column instead of one winner struct, and
+    MoR persists rows whose STATE changed (a stale conflict event can fill
+    nulls), disambiguated on read by commit recency (commit_seq_col).
 
 Counter contract matches oracle.simulate_replay exactly:
   dedup_dropped   = sum over keys of (n_source_rows - 1)
