@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "ivf_ann_topk",
     "purchase_asof_view",
+    "coalesce_field_lww",
+    "date_ranges",
+    "fuzzy_part_pairs",
 ]
 
 

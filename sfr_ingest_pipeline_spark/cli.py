@@ -142,10 +142,12 @@ def cmd_scan(args) -> int:
     df = df.orderBy("conv_id", "turn_idx")
     if args.limit:
         df = df.limit(args.limit)
-    # toLocalIterator: one partition in driver memory at a time — a scan of
-    # the 42M-row bench table must not OOM the driver just to print
-    for row in df.toLocalIterator():
-        print(json.dumps({k: str(v) for k, v in row.asDict().items()}, ensure_ascii=False))
+    # toJSON: rows serialize JVM-side (measured: Python Row->dict->dumps
+    # dominated the 3.98M-row changelog print); toLocalIterator keeps one
+    # partition in driver memory at a time — a scan of the 105M-run table
+    # must not OOM the driver just to print
+    for line in df.toJSON().toLocalIterator():
+        print(line)
     return 0
 
 
@@ -239,11 +241,12 @@ def cmd_changes(args) -> int:
         df = df.limit(args.limit)
     counts: dict = {}
     n = 0
-    # stream partition-at-a-time; tally the summary while printing
-    for row in df.toLocalIterator():
-        print(json.dumps({k: str(v) for k, v in row.asDict().items()},
-                         ensure_ascii=False))
-        counts[row["_change_type"]] = counts.get(row["_change_type"], 0) + 1
+    # JVM-side serialization + partition-at-a-time streaming; tally the
+    # summary from the one field we need while printing
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+        ct = json.loads(line).get("_change_type")
+        counts[ct] = counts.get(ct, 0) + 1
         n += 1
     print(json.dumps({"from": args.from_snapshot, "to": to_id,
                       "changes": n, **counts}), file=sys.stderr)
@@ -271,9 +274,8 @@ def cmd_query(args) -> int:
     if args.limit:
         df = df.limit(args.limit)
     n = 0
-    for row in df.toLocalIterator():
-        print(json.dumps({k: str(v) for k, v in row.asDict().items()},
-                         ensure_ascii=False))
+    for line in df.toJSON().toLocalIterator():
+        print(line)
         n += 1
     print(json.dumps({"query": args.name, "rows": n,
                       "sec": round(time.time() - t0, 2)}), file=sys.stderr)

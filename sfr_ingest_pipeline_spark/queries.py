@@ -656,8 +656,9 @@ def q_simhash_near_dup_pairs(spark, sf_dir):
     independent md5-word halves) via 4x16-bit pigeonhole banding with
     exact-dedup-first collapse and the LSH hot-bucket cap
     (functions/dedup.py simhash_near_dup_pairs). The oracle computes the
-    pair set BRUTE-FORCE — the hash match proves the banded plan (and the
-    exact-group expansion) is lossless, not merely self-consistent."""
+    pair set BRUTE-FORCE with the bucket cap mirrored as a pair-level
+    condition — the hash match proves the banded plan (and the exact-group
+    expansion and cap) exact, not merely self-consistent."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
@@ -1274,9 +1275,14 @@ ORACLE_SQL.update({
               / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
               >= 0.5
     """,
-    # BRUTE-FORCE 64-bit pair set (no banding, no exact-group collapse):
-    # hash equality proves the Spark side's 4x16-bit pigeonhole banding AND
-    # its exact-dedup-first member expansion are lossless for hamming <= 3
+    # BRUTE-FORCE 64-bit pair set with the hot-bucket cap mirrored: a
+    # distinct-text pair must share at least one band whose DISTINCT-text
+    # population is <= 256 (exact-duplicate pairs always emit). Below the
+    # cap this IS pure brute force (pytest pins that at sf0.001), so the
+    # hash match proves the banding + exact-group expansion lossless AND
+    # the cap semantics exact where real data trips it (sf0.1 has one
+    # 291-text band bucket: simhash bits are majority votes, so band keys
+    # cluster on common vocabulary — unlike MinHash bands)
     "simhash_near_dup_pairs": r"""
         WITH tok AS (
             SELECT doc_id, md5(unnest(regexp_extract_all(text, '\S+'))) AS m
@@ -1295,14 +1301,38 @@ ORACLE_SQL.update({
                    sum(CASE WHEN vlo > 0 THEN (1::BIGINT << i) ELSE 0 END) AS lo,
                    sum(CASE WHEN vhi > 0 THEN (1::BIGINT << i) ELSE 0 END) AS hi
             FROM votes GROUP BY doc_id
-        ), s AS (
-            SELECT d.doc_id, coalesce(g.lo, 0) AS lo, coalesce(g.hi, 0) AS hi
+        ), k AS (
+            SELECT d.doc_id, md5(d.text) AS sha,
+                   coalesce(g.lo, 0) AS lo, coalesce(g.hi, 0) AS hi,
+                   coalesce(g.lo, 0) & 65535 AS k0,
+                   (coalesce(g.lo, 0) >> 16) & 65535 AS k1,
+                   coalesce(g.hi, 0) & 65535 AS k2,
+                   (coalesce(g.hi, 0) >> 16) & 65535 AS k3
             FROM documents d LEFT JOIN sigs g USING (doc_id)
+        ), cnt AS (
+            -- DISTINCT-text population per band bucket (the Spark side
+            -- bands exact-dedup representatives, so the cap counts texts)
+            SELECT band, key, count(DISTINCT sha) AS n FROM (
+                SELECT 0 AS band, k0 AS key, sha FROM k
+                UNION ALL SELECT 1, k1, sha FROM k
+                UNION ALL SELECT 2, k2, sha FROM k
+                UNION ALL SELECT 3, k3, sha FROM k
+            ) GROUP BY band, key
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        FROM k a
+        JOIN cnt c0 ON c0.band = 0 AND c0.key = a.k0
+        JOIN cnt c1 ON c1.band = 1 AND c1.key = a.k1
+        JOIN cnt c2 ON c2.band = 2 AND c2.key = a.k2
+        JOIN cnt c3 ON c3.band = 3 AND c3.key = a.k3
+        JOIN k b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+          AND (a.sha = b.sha
+               OR (a.k0 = b.k0 AND c0.n <= 256)
+               OR (a.k1 = b.k1 AND c1.n <= 256)
+               OR (a.k2 = b.k2 AND c2.n <= 256)
+               OR (a.k3 = b.k3 AND c3.n <= 256))
     """,
 })
 
