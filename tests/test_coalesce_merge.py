@@ -214,3 +214,28 @@ def test_coalesce_lww_reduce_oneshot(spark):
     assert out[1]["a"] == "a4" and out[1]["b"] is None  # b1 died with delete
     assert out[1]["ts"] == 40
     assert out[2]["a"] == "x" and out[2]["b"] == "y" and out[2]["ts"] == 20
+
+
+def test_streaming_spine_coalesce(spark, tmp_path):
+    """Field-level merge through the FULL streaming spine (replay_stream ->
+    foreachBatch -> MERGE), partial updates included, vs the sequential
+    oracle with the same per-segment batch boundaries."""
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.streaming.replay import replay_stream
+
+    d = str(tmp_path / "binlog_stream")
+    generate_binlog(
+        d, seed=31, n_conversations=30, n_events=900, n_segments=3,
+        delete_ratio=0.08, duplicate_ratio=0.08, partial_update_ratio=0.5,
+    )
+    cfg = EngineConfig(n_buckets=4, n_salt=4, merge_mode="mor",
+                       column_merge="coalesce", compact_delta_files=2,
+                       shuffle_partitions=8)
+    root = str(tmp_path / "t_stream")
+    results = replay_stream(
+        spark, d, root, str(tmp_path / "ck_stream"), config=cfg,
+        max_files_per_trigger=1,
+    )
+    assert [r.batch_id for r in results] == [0, 1, 2]
+    _assert_matches_oracle(spark, root, results, load_binlog_pandas(d))
