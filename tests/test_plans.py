@@ -165,3 +165,37 @@ def test_dedup_pair_queries_no_cartesian(spark):
 
     assert not has_cartesian_product(q_minhash_lsh_dedup_pairs(spark, SF))
     assert not has_cartesian_product(q_simhash_near_dup_pairs(spark, SF))
+
+
+def test_coalesce_lww_partial_agg_single_exchange(spark):
+    """Field-level LWW (round 3): the candidate maxima must pre-reduce
+    MAP-SIDE (partial aggregate) and the unsalted reduce must cost exactly
+    ONE exchange — the 'same single wide shuffle as row mode' claim."""
+    from sfr_ingest_pipeline_spark.operators.lww import coalesce_lww_reduce
+    from sfr_ingest_pipeline_spark.plans import explain_str
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = coalesce_lww_reduce(
+        ev, ["user_id"], ["ts", "event_id"],
+        deleted=(F.col("event_type") == "error"), n_salt=1,
+    )
+    assert has_partial_aggregate(out)
+    plan = explain_str(out)
+    import re
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert not has_cartesian_product(out)
+
+
+def test_coalesce_lww_salted_two_exchanges_compose(spark):
+    """Salted pre-phase adds exactly one more exchange (key+salt then key)
+    and still partial-aggregates map-side before the first one."""
+    from sfr_ingest_pipeline_spark.operators.lww import coalesce_lww_reduce
+    from sfr_ingest_pipeline_spark.plans import explain_str
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = coalesce_lww_reduce(ev, ["user_id"], ["ts", "event_id"], n_salt=8)
+    assert has_partial_aggregate(out)
+    plan = explain_str(out)
+    import re
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
