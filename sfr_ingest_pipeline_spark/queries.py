@@ -1523,3 +1523,50 @@ ORACLE_SQL.update({
         FROM orders
     """,
 })
+
+
+def q_part_name_clusters(spark, sf_dir):
+    """Dedup clustering (iterative algorithm surface): connected components
+    over the fuzzy part-name pair graph (functions/graph.py min-label
+    propagation loop) -> (p_partkey, cluster) where cluster is the smallest
+    reachable partkey. The DuckDB twin re-derives components with a
+    RECURSIVE transitive-closure CTE — an entirely different formulation,
+    so the hash match proves the Spark fixpoint exact."""
+    from sfr_ingest_pipeline_spark.functions.graph import connected_components
+    from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(
+        part, id_col="p_partkey", col="p_name", max_dist=2, block_on="p_brand"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("p_partkey"),
+        F.col("component").alias("cluster"),
+    )
+
+
+QUERIES["part_name_clusters"] = q_part_name_clusters
+ORACLE_SQL.update({
+    # recursive transitive closure over the SAME fuzzy pair graph: a node's
+    # cluster is the least id among itself and everything reachable
+    "part_name_clusters": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+              AND levenshtein(a.p_name, b.p_name) <= 2
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS p_partkey, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a
+    """,
+})

@@ -1,0 +1,60 @@
+"""connected_components (functions/graph.py): min-label propagation loop
+pinned against a pure-python union-find on random graphs, plus chain-depth
+convergence and the non-convergence guard."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sfr_ingest_pipeline_spark.functions.graph import connected_components
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_matches_union_find_random(spark):
+    rng = random.Random(4)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["x", "y"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "x", "y").collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_long_chain_converges(spark):
+    # a 200-node path: worst-case diameter for label propagation; the
+    # min-label still reaches the far end within the bound because each
+    # round propagates the frontier one hop from EVERY labelled node
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, ["x", "y"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "x", "y", max_iter=250).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_non_convergence_raises(spark):
+    edges = [(i, i + 1) for i in range(50)]
+    df = spark.createDataFrame(edges, ["x", "y"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "x", "y", max_iter=2)
