@@ -1570,3 +1570,63 @@ ORACLE_SQL.update({
         FROM reach GROUP BY a
     """,
 })
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling (functions/sampling.py): keep 50%
+    of English docs, 10% of German, 25% of everything else, keyed on
+    md5(salt || doc_id) so membership is a pure row function (stable under
+    repartitioning and engine-portable — the DuckDB twin computes the SAME
+    hash slots and must select the SAME rows, hash-exact)."""
+    from sfr_ingest_pipeline_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+    from sfr_ingest_pipeline_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang", lang_id(F.col("text"))
+    )
+    kept = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.1},
+        default_fraction=0.25, salt="corpus-v1",
+    )
+    return kept.select("doc_id", "lang")
+
+
+QUERIES["stratified_sample_docs"] = q_stratified_sample_docs
+ORACLE_SQL.update({
+    # same md5 slot computation + same per-language thresholds; the twin
+    # must select the SAME rows, not merely the same count
+    "stratified_sample_docs": f"""
+        WITH langed AS (
+            SELECT doc_id,
+                CASE WHEN best = 0 THEN 'und'
+                     WHEN en = best THEN 'en'
+                     WHEN de = best THEN 'de'
+                     WHEN fr = best THEN 'fr'
+                     WHEN es = best THEN 'es'
+                     ELSE 'und' END AS lang
+            FROM (
+                SELECT doc_id, en, de, fr, es,
+                       greatest(en, de, fr, es) AS best
+                FROM (
+                    SELECT doc_id,
+                        {_MARKER_COUNT.format(re=_LANG_RES['en'])} AS en,
+                        {_MARKER_COUNT.format(re=_LANG_RES['de'])} AS de,
+                        {_MARKER_COUNT.format(re=_LANG_RES['fr'])} AS fr,
+                        {_MARKER_COUNT.format(re=_LANG_RES['es'])} AS es
+                    FROM documents
+                )
+            )
+        ), slotted AS (
+            SELECT l.doc_id, l.lang,
+                   ('0x' || substr(md5('corpus-v1' || CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 AS slot
+            FROM langed l
+        )
+        SELECT doc_id, lang FROM slotted
+        WHERE slot < CASE lang WHEN 'en' THEN 5000
+                               WHEN 'de' THEN 1000
+                               ELSE 2500 END
+    """,
+})
