@@ -1,12 +1,17 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Image/audio/video are opaque ``binary`` columns with typed metadata structs.
-The decode/feature-extract kernels need codec libraries that are NOT in this
-container, so the decode step is stubbed (clearly marked) behind
-``decode_stub=True`` with a deterministic fake — but everything Spark-side
-(schema, Arrow batch shape, mapInPandas signature, partitioning) is real and
-tested. Swap ``_fake_decode`` for a real decoder (PIL/ffmpeg) on a cluster
-that has the libs.
+
+Round 3: ``decode_media`` REALLY decodes the codec-free container formats —
+uncompressed 24-bit BMP (manual header+pixel parse, numpy luma resize) and
+16-bit PCM WAV (stdlib ``wave``, windowed RMS features) — and the tests
+synthesize genuine containers byte-by-byte and assert the recovered pixels
+and samples. Compressed formats (PNG/JPEG/MP4) need codec libraries that
+are NOT in this container; those paths stay env-gated behind an explicit
+NotImplementedError, and the generic plumbing below (metadata extract,
+frame fan-out, byte-histogram features) keeps a deterministic stub so the
+Spark-side shape (schema, Arrow batch, mapInPandas signature, partitioning)
+is exercised regardless.
 """
 
 from __future__ import annotations
@@ -167,3 +172,143 @@ def byte_histogram_features(
             )
 
     return df.select(id_col, binary_col).mapInPandas(fn, out_schema)
+
+
+# --------------------------------------------------------------------------
+# REAL decode for stdlib-decodable containers (round 3).
+#
+# The container has no codec libraries, but two real media formats need
+# none: BMP (uncompressed 24-bit) is a documented fixed layout, and WAV
+# PCM decodes with the stdlib `wave` module. Decoding these for real
+# upgrades S8 from "plumbing + stub" to "real decode for uncompressed
+# containers"; compressed formats (PNG/JPEG/MP4/...) remain env-gated
+# behind the same NotImplementedError as before.
+# --------------------------------------------------------------------------
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),          # bmp | wav
+        T.StructField("width", T.IntegerType()),        # bmp
+        T.StructField("height", T.IntegerType()),       # bmp
+        T.StructField("channels", T.IntegerType()),     # wav
+        T.StructField("sample_rate", T.IntegerType()),  # wav
+        T.StructField("n_samples", T.LongType()),       # wav
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_bmp(payload: bytes, grid: int) -> dict:
+    """24-bit uncompressed BMP -> grid x grid nearest-neighbour luma
+    features (the image-resize kernel, numpy-vectorized)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes codec-free (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    row_bytes = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        px = px[::-1]  # BMP rows are bottom-up when height > 0
+    # BGR -> luma, then nearest-neighbour resize to the fixed grid
+    luma = (0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2])
+    yi = (np.arange(grid) * h) // grid
+    xi = (np.arange(grid) * w) // grid
+    small = luma[np.ix_(yi, xi)] / 255.0
+    return {
+        "kind": "bmp", "width": int(w), "height": int(h),
+        "features": [float(v) for v in small.ravel()],
+    }
+
+
+def _decode_wav(payload: bytes, grid: int) -> dict:
+    """WAV PCM -> per-window RMS energy features (stdlib wave + numpy)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        ch = wf.getnchannels()
+        sr = wf.getframerate()
+        sw = wf.getsampwidth()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+    if sw != 2:
+        raise NotImplementedError(f"only 16-bit PCM decodes here (width={sw})")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    feats = []
+    if x.size:
+        for i in range(grid):
+            seg = x[(i * x.size) // grid: ((i + 1) * x.size) // grid]
+            feats.append(float(np.sqrt((seg ** 2).mean())) if seg.size else 0.0)
+    else:
+        feats = [0.0] * grid
+    return {
+        "kind": "wav", "channels": int(ch), "sample_rate": int(sr),
+        "n_samples": int(n), "features": feats,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Sniff-and-decode real media containers (mapInPandas, Arrow-batched):
+
+    * ``BM``   -> 24-bit uncompressed BMP: real pixel decode + luma
+                  nearest-neighbour resize to a ``grid x grid`` feature map
+    * ``RIFF/WAVE`` -> 16-bit PCM WAV: real sample decode + ``grid``
+                  windowed-RMS energy features
+    * anything else -> NotImplementedError naming the missing codec libs
+      (PNG/JPEG/MP4 need PIL/ffmpeg, absent in this container)
+
+    Features land in the same ``array<float>`` shape as text embeddings, so
+    decoded media feeds vector.py ANN / near-dup operators directly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                if b[:2] == b"BM":
+                    d = _decode_bmp(b, grid)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    d = _decode_wav(b, grid)
+                else:
+                    raise NotImplementedError(
+                        "compressed/unknown media needs codec libraries "
+                        "(PIL/ffmpeg) not present in this container"
+                    )
+                rows.append({
+                    "doc_id": int(i),
+                    "kind": d["kind"],
+                    "width": d.get("width"),
+                    "height": d.get("height"),
+                    "channels": d.get("channels"),
+                    "sample_rate": d.get("sample_rate"),
+                    "n_samples": d.get("n_samples"),
+                    "features": d["features"],
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+
+    return df.select(id_col, binary_col).mapInPandas(fn, DECODED_SCHEMA)

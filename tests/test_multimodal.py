@@ -1,5 +1,7 @@
 import hashlib
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from sfr_ingest_pipeline_spark.functions.multimodal import (
@@ -96,3 +98,130 @@ def test_byte_histogram_feeds_vector_ops(spark):
     rows = top.collect()
     assert len(rows) == len(q.collect()) * 2
     assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode (round 3): BMP and WAV are generated as genuine containers in
+# pure python/stdlib, decoded by decode_media, and the recovered pixels /
+# samples are asserted against the known synthesis parameters.
+# ---------------------------------------------------------------------------
+
+def _make_bmp(w, h, rgb_fn):
+    """Genuine 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up)."""
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up row order
+        line = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            line += bytes((b, g, r))        # BGR
+        line += b"\x00" * (row - len(line))
+        pix += line
+    off = 14 + 40
+    size = off + len(pix)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return bytes(hdr + info + pix)
+
+
+def _make_wav(sr, n, freq_fn, channels=1):
+    """Genuine 16-bit PCM WAV via the stdlib wave writer."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        frames = bytearray()
+        for i in range(n):
+            v = int(32000 * freq_fn(i))
+            frames += struct.pack("<h", v) * channels
+        wf.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_media_bmp_real_pixels(spark):
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    # left half black, right half white -> luma grid halves at 0 and ~1
+    bmp = _make_bmp(16, 16, lambda x, y: (0, 0, 0) if x < 8 else (255, 255, 255))
+    df = spark.createDataFrame([(1, bytearray(bmp))], ["doc_id", "payload"])
+    row = decode_media(df, grid=4).collect()[0]
+    assert row["kind"] == "bmp" and row["width"] == 16 and row["height"] == 16
+    g = row["features"]
+    assert len(g) == 16
+    for r in range(4):
+        assert g[4 * r + 0] < 0.01 and g[4 * r + 1] < 0.01
+        assert g[4 * r + 2] > 0.95 and g[4 * r + 3] > 0.95
+
+
+def test_decode_media_wav_real_samples(spark):
+    import math
+
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    # first half silence, second half near-full-scale sine -> RMS windows
+    n = 8000
+    wav = _make_wav(
+        8000, n,
+        lambda i: 0.0 if i < n // 2 else math.sin(2 * math.pi * 440 * i / 8000),
+        channels=2,
+    )
+    df = spark.createDataFrame([(2, bytearray(wav))], ["doc_id", "payload"])
+    row = decode_media(df, grid=4).collect()[0]
+    assert row["kind"] == "wav"
+    assert row["channels"] == 2 and row["sample_rate"] == 8000
+    assert row["n_samples"] == n
+    f = row["features"]
+    assert f[0] < 0.01 and f[1] < 0.01          # silence
+    assert 0.6 < f[2] < 0.8 and 0.6 < f[3] < 0.8  # sine RMS ~ 0.69
+
+
+def test_decode_media_mixed_batch_and_unknown_raises(spark):
+    import pytest as _pytest
+
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    bmp = _make_bmp(4, 4, lambda x, y: (10 * x, 10 * y, 0))
+    wav = _make_wav(4000, 100, lambda i: 0.5)
+    ok = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav))], ["doc_id", "payload"]
+    )
+    kinds = {r["doc_id"]: r["kind"] for r in decode_media(ok).collect()}
+    assert kinds == {1: "bmp", 2: "wav"}
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], ["doc_id", "payload"]
+    )
+    with _pytest.raises(Exception, match="codec libraries"):
+        decode_media(bad).collect()
+
+
+def test_decoded_features_feed_ann(spark):
+    """Decoded media features compose with the vector operators — the same
+    array<float> contract as text embeddings."""
+    import math
+
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+    from sfr_ingest_pipeline_spark.functions import vector as V
+
+    rows = []
+    for i in range(6):
+        shade = 40 * (i + 1)  # avoid the all-zero vector (undefined cosine)
+        rows.append((i, bytearray(_make_bmp(8, 8, lambda x, y, s=shade: (s, s, s)))))
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    feats = decode_media(df, grid=2).select(
+        "doc_id", F.col("features").alias("embedding")
+    )
+    top = V.brute_force_topk(
+        feats, feats.filter(F.col("doc_id") == 3),
+        id_col="doc_id", vec_col="embedding", k=2,
+    ).collect()
+    assert len(top) == 2  # composes end-to-end
