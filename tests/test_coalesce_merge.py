@@ -58,6 +58,10 @@ def _edge_batches():
         _ev("U", "c2", 0, None, "zombie", None, 55, 10),
         # exact re-delivery of the b1 text update -> conflict, no change
         _ev("U", "c1", 0, None, "hello EDITED", None, 40, 4),
+        # delete for a NEVER-SEEN key: must land as a tombstone so the
+        # late event in the same batch (older order) cannot resurrect it
+        _ev("D", "c3", 0, None, None, None, 90, 11),
+        _ev("U", "c3", 0, "user", "too late", None, 80, 12),
     ])
     return [b0, b1, b2, b3]
 
@@ -79,8 +83,13 @@ def _assert_matches_oracle(spark, root, results, batches):
         TranscriptTable.load(root).scan(spark)
         .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
     )
+    # compare evolved extra columns too, not just the v1 logical set
+    cols = LOGICAL_COLS + [
+        c for c in sim.table.columns
+        if c not in LOGICAL_COLS and c in got.columns
+    ]
     pd.testing.assert_frame_equal(
-        got[LOGICAL_COLS], sim.table[LOGICAL_COLS], check_dtype=False
+        got[cols], sim.table[cols], check_dtype=False
     )
     eng = [(r.dedup_dropped, r.events_applied, r.merge_conflicts)
            for r in results]
@@ -239,3 +248,24 @@ def test_streaming_spine_coalesce(spark, tmp_path):
     )
     assert [r.batch_id for r in results] == [0, 1, 2]
     _assert_matches_oracle(spark, root, results, load_binlog_pandas(d))
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_schema_evolution_mid_replay_coalesce(spark, tmp_path, mode):
+    """A column appearing mid-replay (ALTER-on-write) under coalesce: old
+    state null-fills the new column, later partial updates fill it
+    per-column, and the sequential oracle agrees batch-by-batch."""
+    d = str(tmp_path / f"evo_{mode}")
+    generate_binlog(
+        d, seed=19, n_conversations=25, n_events=900, n_segments=4,
+        partial_update_ratio=0.4, schema_v2_from_segment=2,
+    )
+    batches = load_binlog_pandas(d)
+    cfg = EngineConfig(n_buckets=4, n_salt=4, merge_mode=mode,
+                       column_merge="coalesce", compact_delta_files=3,
+                       shuffle_partitions=8)
+    root, results = _replay(spark, tmp_path, batches, cfg, f"evo_t_{mode}")
+    _assert_matches_oracle(spark, root, results, batches)
+    # the evolved column exists and is non-null somewhere post-widening
+    got = TranscriptTable.load(root).scan(spark)
+    assert "tool_meta" in got.columns
