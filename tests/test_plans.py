@@ -199,3 +199,18 @@ def test_coalesce_lww_salted_two_exchanges_compose(spark):
     plan = explain_str(out)
     import re
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+
+
+def test_round3_queries_prune_scans(spark):
+    """New round-3 queries read only the columns they need."""
+    from sfr_ingest_pipeline_spark.queries import (
+        q_date_ranges,
+        q_stratified_sample_docs,
+    )
+
+    assert read_schema_columns(q_stratified_sample_docs(spark, SF)) == [
+        ["doc_id", "text"]
+    ]
+    assert read_schema_columns(q_date_ranges(spark, SF)) == [
+        ["o_orderkey", "o_orderdate"]
+    ]
