@@ -67,11 +67,20 @@ def commit_seq_col():
     supersedes — commit recency disambiguates. Pure codegen, no metadata
     join; zero effect in row mode (applied rows always advance the order,
     so stored orders are collision-free)."""
+    return commit_seq_of(F.input_file_name())
+
+
+def commit_seq_of(path_col):
+    """commit_seq_col over an explicit path column (unit-testable).
+
+    try_cast, not cast: a non-matching path extracts '' and ANSI mode
+    (Spark 4 default) would throw on casting that — unmatched paths must
+    mean commit 0, never a job failure."""
     return F.coalesce(
         F.regexp_extract(
-            F.input_file_name(),
+            path_col,
             r"/(?:snap|compact|recluster|rebucket)-(\d+)-[0-9a-f]+/", 1,
-        ).cast("long"),
+        ).try_cast("long"),
         F.lit(0).cast("long"),
     )
 

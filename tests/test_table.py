@@ -537,3 +537,30 @@ def test_non_additive_schema_changes_rejected(spark, tmp_path, small_cfg):
     }])
     with _pytest.raises(Exception, match="overflows table column"):
         apply_batch(spark, root, spark.createDataFrame(bad), 1, config=small_cfg)
+
+
+def test_commit_seq_col_parses_all_commit_kinds(spark):
+    """commit_seq_col must recover the snapshot id from every commit-dir
+    naming scheme the writers produce (and 0 for anything else)."""
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        commit_seq_col,
+        commit_seq_of,
+    )
+
+    rows = [
+        ("file:/t/data/snap-00000012-abcdef12/_bucket=3/part-0.parquet", 12),
+        ("file:/t/data/compact-00000345-00aa11bb/_bucket=0/p.parquet", 345),
+        ("file:/t/data/recluster-00000007-deadbeef/_bucket=1/p.parquet", 7),
+        ("file:/t/data/rebucket-10000001-cafef00d/_bucket=9/p.parquet", 10000001),
+        # non-matching paths mean commit 0 — and must NOT throw under ANSI
+        # (regexp_extract yields \'\'; a plain cast would fail the job)
+        ("file:/t/elsewhere/part-0.parquet", 0),
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], ["p"])
+    from pyspark.sql import functions as F
+
+    got = [r["c"] for r in df.select(commit_seq_of(F.col("p")).alias("c")).collect()]
+    assert got == [e for _, e in rows]
+    # the production column is the same expression over input_file_name
+    assert "input_file_name" in commit_seq_col()._jc.toString()
