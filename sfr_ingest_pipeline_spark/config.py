@@ -69,6 +69,14 @@ class EngineConfig:
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     # Columns defining the last-writer-wins total order (major..minor).
     order_cols: tuple[str, ...] = ("ts", "event_seq")
+    def __post_init__(self):
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
+        if self.column_merge not in ("row", "coalesce"):
+            raise ValueError(
+                f"column_merge must be row|coalesce, got {self.column_merge!r}"
+            )
+
     # Spark confs applied by session helpers / spark-submit wrappers.
     spark_confs: dict = field(
         default_factory=lambda: {

@@ -119,9 +119,7 @@ def lsh_candidate_pairs(
     base = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "_sha", sha_key(text_col)
     )
-    groups = base.groupBy("_sha").agg(
-        F.min(id_col).alias("_canon"), F.min(text_col).alias("_text")
-    )
+    groups = base.groupBy("_sha").agg(F.min(text_col).alias("_text"))
     exact_pairs = (
         base.join(groups.select("_sha", "_canon"), "_sha")
         .filter(F.col(id_col) != F.col("_canon"))
@@ -235,9 +233,7 @@ def simhash_near_dup_pairs(
     base = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "_sha", sha_key(text_col)
     )
-    groups = base.groupBy("_sha").agg(
-        F.min(id_col).alias("_canon"), F.min(text_col).alias("_text")
-    )
+    groups = base.groupBy("_sha").agg(F.min(text_col).alias("_text"))
     members = base.select("_sha", F.col(id_col))
 
     # identical texts: hamming 0 by definition, no banding needed

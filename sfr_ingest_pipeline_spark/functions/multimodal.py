@@ -272,6 +272,7 @@ def decode_media(
     id_col: str = "doc_id",
     binary_col: str = "payload",
     grid: int = 8,
+    errors: str = "raise",
 ) -> DataFrame:
     """Sniff-and-decode real media containers (mapInPandas, Arrow-batched):
 
@@ -283,22 +284,35 @@ def decode_media(
       (PNG/JPEG/MP4 need PIL/ffmpeg, absent in this container)
 
     Features land in the same ``array<float>`` shape as text embeddings, so
-    decoded media feeds vector.py ANN / near-dup operators directly."""
+    decoded media feeds vector.py ANN / near-dup operators directly.
+
+    ``errors="raise"`` (default) fails the job on the first null, unknown
+    or malformed payload; ``errors="skip"`` drops such rows — at corpus
+    scale one foreign blob must not abort a billion-row decode."""
+    if errors not in ("raise", "skip"):
+        raise ValueError(f"errors must be raise|skip, got {errors!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
-                b = bytes(payload)
-                if b[:2] == b"BM":
-                    d = _decode_bmp(b, grid)
-                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    d = _decode_wav(b, grid)
-                else:
-                    raise NotImplementedError(
-                        "compressed/unknown media needs codec libraries "
-                        "(PIL/ffmpeg) not present in this container"
-                    )
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    b = bytes(payload)
+                    if b[:2] == b"BM":
+                        d = _decode_bmp(b, grid)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        d = _decode_wav(b, grid)
+                    else:
+                        raise NotImplementedError(
+                            "compressed/unknown media needs codec libraries "
+                            "(PIL/ffmpeg) not present in this container"
+                        )
+                except Exception:
+                    if errors == "raise":
+                        raise
+                    continue
                 rows.append({
                     "doc_id": int(i),
                     "kind": d["kind"],

@@ -247,7 +247,7 @@ def coalesce_lww_reduce(
     df: DataFrame,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
-    deleted: Column | None = None,
+    deleted: Column | str | None = None,
     n_salt: int = 1,
     keep_deleted: bool = False,
 ) -> DataFrame:
@@ -258,13 +258,23 @@ def coalesce_lww_reduce(
     (they contribute no values and cut all older candidates); the output's
     order columns come from the newest row overall. ``keep_deleted=False``
     drops keys whose newest row is a tombstone.
+
+    ``deleted`` as a column NAME excludes that flag column from the payload
+    fold entirely (no wasted candidate aggregate, nothing for the caller to
+    drop); as a Column expression the referenced columns stay payload.
     """
+    flag_col = deleted if isinstance(deleted, str) else None
     payload_cols = [
-        c for c in df.columns if c not in set(key_cols) | set(order_cols)
+        c for c in df.columns
+        if c not in set(key_cols) | set(order_cols) | {flag_col}
     ]
     base = df.withColumns(
         {
-            "_deleted": (deleted if deleted is not None else F.lit(False)),
+            "_deleted": (
+                F.col(flag_col) if flag_col is not None
+                else deleted if deleted is not None
+                else F.lit(False)
+            ),
             "_src_rank": F.lit(0),
             "_n_s": F.lit(0).cast("long"),
             "_has_t": F.lit(False),

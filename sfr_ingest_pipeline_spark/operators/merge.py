@@ -310,8 +310,6 @@ def apply_batch(
     # ``_src_rank``, is what a MoR delta append must persist, because in
     # coalesce mode a stale (conflict) event can still fill null columns.
     unioned = src.unionByName(target)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
-                  F.lit(config.n_salt))
     if config.column_merge == "coalesce":
         payload_cols = [c for c in carry_cols
                         if c not in order_cols and c != "_deleted"]
@@ -333,6 +331,8 @@ def apply_batch(
             # salted pre-phase for pathological hot keys: reduce on
             # (key, salt) first so no single reducer materializes a whole
             # hot key
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
+                          F.lit(config.n_salt))
             pre = _merge_agg(unioned.withColumn("_salt", salt),
                              [*key_cols, "_salt"], carry_cols, order_cols)
             unioned = pre.drop("_salt")

@@ -1400,8 +1400,7 @@ def q_coalesce_field_lww(spark, sf_dir):
         (F.col("event_type") == "error").alias("_del"),
     )
     out = coalesce_lww_reduce(
-        src, ["user_id"], ["ts", "event_id"],
-        deleted=F.col("_del"), n_salt=4,
+        src, ["user_id"], ["ts", "event_id"], deleted="_del", n_salt=4,
     )
     return out.select(
         "user_id", "etype", "val", "props_k", "ts",

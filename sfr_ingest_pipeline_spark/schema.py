@@ -100,6 +100,9 @@ def spark_to_ddl(schema: T.StructType) -> str:
 # type (Iceberg's promotion set, read in the write direction): the writer
 # casts these silently.
 _SAFE_COERCIONS: set[tuple[type, type]] = {
+    (T.ByteType, T.ShortType),
+    (T.ByteType, T.IntegerType),
+    (T.ByteType, T.LongType),
     (T.IntegerType, T.LongType),
     (T.ShortType, T.IntegerType),
     (T.ShortType, T.LongType),

@@ -160,8 +160,8 @@ def verify_against_binlog(
         expected = coalesce_lww_reduce(
             events.withColumn("_is_del", F.col("op") == "D").drop("op"),
             list(config.key_cols), list(config.order_cols),
-            deleted=F.col("_is_del"), n_salt=config.n_salt,
-        ).drop("_is_del")
+            deleted="_is_del", n_salt=config.n_salt,
+        )
     else:
         winners = lww_reduce(
             events, list(config.key_cols), list(config.order_cols)
@@ -182,7 +182,7 @@ def verify_against_binlog(
 
     missing = expected.exceptAll(actual).count()
     extra = actual.exceptAll(expected).count()
-    return {
+    report = {
         "rows_expected": expected.count(),
         "rows_actual": actual.count(),
         "missing_in_table": missing,
@@ -190,6 +190,19 @@ def verify_against_binlog(
         "columns_not_covered_by_binlog": uncovered,
         "ok": missing == 0 and extra == 0,
     }
+    last = table.last_batch_id
+    if column_merge == "coalesce" and last is not None and last > 0:
+        # multi-batch coalesce history: the one-shot fold has exact
+        # per-column orders while the engine folded committed state at its
+        # row order, so a mismatch here may be the documented
+        # batch-boundary approximation, not an engine defect — flag it so
+        # a CI gate doesn't read a false failure as corruption
+        report["note"] = (
+            "coalesce verify against a multi-batch replay is approximate "
+            "for cross-batch stale fills (see docstring); exact "
+            "verification is the sequential-oracle golden tests"
+        )
+    return report
 
 
 def recluster(

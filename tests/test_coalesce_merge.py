@@ -216,8 +216,8 @@ def test_coalesce_lww_reduce_oneshot(spark):
     out = {
         r["k"]: r
         for r in coalesce_lww_reduce(
-            df, ["k"], ["ts", "seq"], deleted=F.col("del"), n_salt=4
-        ).drop("del").collect()
+            df, ["k"], ["ts", "seq"], deleted="del", n_salt=4
+        ).collect()
     }
     assert set(out) == {1, 2}
     assert out[1]["a"] == "a4" and out[1]["b"] is None  # b1 died with delete

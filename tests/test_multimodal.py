@@ -225,3 +225,26 @@ def test_decoded_features_feed_ann(spark):
         id_col="doc_id", vec_col="embedding", k=2,
     ).collect()
     assert len(top) == 2  # composes end-to-end
+
+
+def test_decode_media_errors_skip(spark):
+    """errors='skip': null, unknown and malformed payloads drop instead of
+    aborting a corpus-scale decode; good rows still decode."""
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    bmp = _make_bmp(4, 4, lambda x, y: (1, 2, 3))
+    rows = [
+        (1, bytearray(bmp)),
+        (2, None),                                   # null payload
+        (3, bytearray(b"\x89PNG\r\n\x1a\nxxxx")),    # unknown container
+        (4, bytearray(b"BMgarbage")),                # malformed BMP
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = decode_media(df, errors="skip").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_media(df, errors="raise").collect()
+    with _pytest.raises(ValueError, match="raise|skip"):
+        decode_media(df, errors="ignore")

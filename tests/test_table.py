@@ -564,3 +564,24 @@ def test_commit_seq_col_parses_all_commit_kinds(spark):
     assert got == [e for _, e in rows]
     # the production column is the same expression over input_file_name
     assert "input_file_name" in commit_seq_col()._jc.toString()
+
+
+def test_engine_config_validates_modes():
+    import pytest as _pytest
+
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.schema import coercion_kind, widen_schema
+    from pyspark.sql import types as T
+
+    with _pytest.raises(ValueError, match="column_merge"):
+        EngineConfig(column_merge="Coalesce")
+    with _pytest.raises(ValueError, match="merge_mode"):
+        EngineConfig(merge_mode="copy")
+    # byte upcasts are lossless and must not be rejected
+    assert coercion_kind(T.ByteType(), T.IntegerType()) == "safe"
+    widened = widen_schema(
+        T.StructType([T.StructField("x", T.IntegerType())]),
+        T.StructType([T.StructField("x", T.ByteType())]),
+        coerce_existing=True,
+    )
+    assert widened["x"].dataType == T.IntegerType()
