@@ -119,7 +119,9 @@ def lsh_candidate_pairs(
     base = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "_sha", sha_key(text_col)
     )
-    groups = base.groupBy("_sha").agg(F.min(text_col).alias("_text"))
+    groups = base.groupBy("_sha").agg(
+        F.min(id_col).alias("_canon"), F.min(text_col).alias("_text")
+    )
     exact_pairs = (
         base.join(groups.select("_sha", "_canon"), "_sha")
         .filter(F.col(id_col) != F.col("_canon"))
