@@ -98,7 +98,9 @@ def coalesce_candidates(
     """Per-row candidate structs. Requires ``_deleted`` (bool), ``_src_rank``
     (0 source / 1 state), ``_n_s`` (long), ``_has_t`` (bool) and — when
     stored versions can collide on order — ``_commit_seq`` (long) columns;
-    keeps every other column (keys, salt) untouched."""
+    an optional ``_del_hw`` struct column (stored delete memory, order-col
+    fields) feeds the delete high-water; keeps every other column (keys,
+    salt) untouched."""
     if "_commit_seq" not in df.columns:
         df = df.withColumn("_commit_seq", F.lit(0).cast("long"))
     order = [F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]
@@ -115,7 +117,26 @@ def coalesce_candidates(
         ),
     )
     src_hw = F.when(is_src, F.struct(*order))
-    del_src = F.when(is_src & F.col("_deleted"), F.struct(*order))
+    # delete high-water candidates: every delete row (source OR stored
+    # tombstone version) at its own order, plus the PERSISTED delete memory
+    # of stored rows — without the memory, a committed live row forgets the
+    # delete it was rebuilt over and a re-applied/late batch could
+    # resurrect a pre-delete fill (hypothesis-caught)
+    if "_del_hw" in df.columns:
+        stored_del = F.when(
+            ~is_src & F.col("_del_hw").isNotNull(),
+            F.struct(*[
+                F.col(f"_del_hw.{c}").alias(f"o{i}")
+                for i, c in enumerate(order_cols)
+            ]),
+        )
+    else:
+        # typed null struct (never true) so max()/greatest() type-resolve
+        stored_del = F.when(F.lit(False), F.struct(*order))
+    del_cand = F.greatest(
+        F.when(F.col("_deleted"), F.struct(*order)), stored_del
+    )
+    tgt_del = F.when(~is_src, stored_del)
     cands = {
         f"_cand_{c}": F.when(
             is_src & ~F.col("_deleted") & F.col(c).isNotNull(),
@@ -126,13 +147,14 @@ def coalesce_candidates(
     keep = [
         c for c in df.columns
         if c not in set(payload_cols) | set(order_cols)
-        | {"_deleted", "_src_rank", "_commit_seq"}
+        | {"_deleted", "_src_rank", "_commit_seq", "_del_hw"}
     ]
     return df.select(
         *keep,
         tgt.alias("_tgt"),
         src_hw.alias("_src_hw"),
-        del_src.alias("_del_src"),
+        del_cand.alias("_del_cand"),
+        tgt_del.alias("_tgt_del"),
         *[expr.alias(name) for name, expr in cands.items()],
     )
 
@@ -148,7 +170,8 @@ def coalesce_agg(
     return df.groupBy(*group_cols).agg(
         F.max("_tgt").alias("_tgt"),
         F.max("_src_hw").alias("_src_hw"),
-        F.max("_del_src").alias("_del_src"),
+        F.max("_del_cand").alias("_del_cand"),
+        F.max("_tgt_del").alias("_tgt_del"),
         *[F.max(f"_cand_{c}").alias(f"_cand_{c}") for c in payload_cols],
         F.sum("_n_s").alias("_n_s"),
         F.max("_has_t").alias("_has_t"),
@@ -176,15 +199,14 @@ def coalesce_finalize(
         F.struct(*[F.col(f"_tgt.o{i}").alias(f"o{i}") for i in range(n)]),
     )
     src_hw = F.col("_src_hw")
-    del_src = F.col("_del_src")
     applied = src_hw.isNotNull() & (
         tgt_order.isNull() | (src_hw > tgt_order)
     )
-    deleted = F.when(applied, src_hw.eqNullSafe(del_src)).otherwise(
+    # total delete high-water: batch deletes, stored tombstone versions AND
+    # the persisted per-key delete memory all folded in _del_cand already
+    del_hw = F.col("_del_cand")
+    deleted = F.when(applied, src_hw.eqNullSafe(del_hw)).otherwise(
         F.col("_tgt.del")
-    )
-    del_hw = F.greatest(
-        del_src, F.when(F.col("_tgt.del"), tgt_order)
     )
 
     def _ranked(order_struct, rank: int, value):
@@ -207,7 +229,9 @@ def coalesce_finalize(
         tgt_ok = (
             tgt.isNotNull() & ~F.col("_tgt.del")
             & F.col(f"_tgt.p.{c}").isNotNull()
-            & (del_src.isNull() | (tgt_order > del_src))
+            # a live state row always postdates its own delete memory, so
+            # this strict guard only fires for NEWER batch deletes
+            & (del_hw.isNull() | (tgt_order > del_hw))
         )
         tgt_c = F.when(tgt_ok, _ranked(tgt_order, 1, F.col(f"_tgt.p.{c}")))
         src_ok = cand.isNotNull() & (
@@ -229,9 +253,25 @@ def coalesce_finalize(
             )
         elif c == "_deleted":
             out_cols.append(deleted.alias("_deleted"))
+        elif c == "_del_hw":
+            out_cols.append(
+                F.when(
+                    del_hw.isNotNull(),
+                    F.struct(*[
+                        del_hw.getField(f"o{i}").alias(oc)
+                        for i, oc in enumerate(order_cols)
+                    ]),
+                ).alias("_del_hw")
+            )
         else:  # pragma: no cover - carry col outside payload/order/meta
             raise ValueError(f"unhandled carry column {c!r}")
-    changed = applied
+    # advancing the delete memory is a state change MoR must persist, even
+    # when the row winner and every column stay put (a stale delete between
+    # the memory and the live row's order)
+    del_advanced = del_hw.isNotNull() & (
+        F.col("_tgt_del").isNull() | (del_hw > F.col("_tgt_del"))
+    ) & tgt.isNotNull()
+    changed = applied | del_advanced
     for flag in filled:
         changed = changed | flag
     return df.select(

@@ -217,6 +217,10 @@ def apply_batch(
     # ---- source side: physical shape + src markers ------------------------
     src = _null_fill(batch_df, logical)
     src = src.withColumn("_deleted", F.col("op") == F.lit("D"))
+    # batch events carry no stored delete memory
+    src = src.withColumn(
+        "_del_hw", F.lit(None).cast(phys["_del_hw"].dataType)
+    )
     src = src.select(*phys_cols).withColumns(
         {"_src_rank": F.lit(0), "_n_s": F.lit(1).cast("long"),
          "_has_t": F.lit(False), "_commit_seq": F.lit(0).cast("long")}
@@ -312,7 +316,8 @@ def apply_batch(
     unioned = src.unionByName(target)
     if config.column_merge == "coalesce":
         payload_cols = [c for c in carry_cols
-                        if c not in order_cols and c != "_deleted"]
+                        if c not in order_cols
+                        and c not in ("_deleted", "_del_hw")]
         cand = coalesce_candidates(unioned, order_cols, payload_cols)
         if config.n_salt and config.n_salt > 1:
             cand_salt = F.pmod(

@@ -116,13 +116,18 @@ def _apply_coalesce_key(
     tgt = state.get(key)
     tgt_order = (tgt["ts"], tgt["event_seq"]) if tgt is not None else None
     applied_row = tgt is None or src_hw > tgt_order
-    deleted = (src_hw == del_src) if applied_row else tgt["_deleted"]
+    # persistent delete memory: batch deletes, the state's tombstone order
+    # AND the delete high-water remembered from earlier batches (mirrors
+    # the engine's _del_hw physical column)
     del_hw = max(
         (d for d in (
-            del_src, tgt_order if (tgt is not None and tgt["_deleted"]) else None,
+            del_src,
+            tgt_order if (tgt is not None and tgt["_deleted"]) else None,
+            tgt.get("_del_hw") if tgt is not None else None,
         ) if d is not None),
         default=None,
     )
+    deleted = (src_hw == del_hw) if applied_row else tgt["_deleted"]
 
     new_row: dict = {}
     for c in payload_cols:
@@ -130,7 +135,7 @@ def _apply_coalesce_key(
         if (
             tgt is not None and not tgt["_deleted"]
             and tgt.get(c) is not None and not pd.isna(tgt.get(c))
-            and (del_src is None or tgt_order > del_src)
+            and (del_hw is None or tgt_order > del_hw)
         ):
             tgt_c = (tgt_order, 1, tgt[c])
         src_c = None
@@ -145,6 +150,7 @@ def _apply_coalesce_key(
     win_order = src_hw if applied_row else tgt_order
     new_row["ts"], new_row["event_seq"] = win_order
     new_row["_deleted"] = deleted
+    new_row["_del_hw"] = del_hw
     new_row["conv_id"], new_row["turn_idx"] = key
     state[key] = new_row
     return applied_row

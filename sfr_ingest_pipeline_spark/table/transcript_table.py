@@ -48,7 +48,7 @@ from pyspark.sql import types as T
 
 from sfr_ingest_pipeline_spark.schema import TRANSCRIPT_SCHEMA
 
-META_COLS = ("event_seq", "_deleted")
+META_COLS = ("event_seq", "_deleted", "_del_hw")
 
 
 def bucket_expr(conv_col, n_buckets: int):
@@ -102,10 +102,27 @@ def resolve_stored_versions(df: DataFrame, key_cols, order_cols) -> DataFrame:
     )
 
 
-def physical_schema(logical: T.StructType) -> T.StructType:
+def physical_schema(
+    logical: T.StructType, order_cols: tuple = ("ts", "event_seq")
+) -> T.StructType:
+    """Stored row shape: logical columns + LWW minor-order + tombstone flag
+    + the key's DELETE high-water mark.
+
+    ``_del_hw`` is the order of the newest delete ever applied to the key
+    (struct of the order columns, null if never deleted). Field-level merge
+    needs it as durable memory: without it, a committed live row forgets
+    past deletes and a re-applied or late batch could resurrect a
+    pre-delete column fill (caught by hypothesis — see
+    tests/test_properties.py coalesce re-apply idempotence). Row-mode
+    tables carry it as null at negligible cost."""
     fields = list(logical.fields)
     fields.append(T.StructField("event_seq", T.LongType(), True))
     fields.append(T.StructField("_deleted", T.BooleanType(), True))
+    types = {f.name: f.dataType for f in fields}
+    hw = T.StructType(
+        [T.StructField(c, types.get(c, T.LongType()), True) for c in order_cols]
+    )
+    fields.append(T.StructField("_del_hw", hw, True))
     return T.StructType(fields)
 
 

@@ -269,3 +269,39 @@ def test_schema_evolution_mid_replay_coalesce(spark, tmp_path, mode):
     # the evolved column exists and is non-null somewhere post-widening
     got = TranscriptTable.load(root).scan(spark)
     assert "tool_meta" in got.columns
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_memory_blocks_pre_delete_fill_across_batches(spark, tmp_path, mode):
+    """The hypothesis-caught hole: after delete -> reinsert, the committed
+    live row must still REMEMBER the delete (_del_hw physical column) so a
+    late pre-delete event cannot fill columns it lost to the tombstone —
+    across batch boundaries and under re-application."""
+    cfg = EngineConfig(n_buckets=2, n_salt=1, merge_mode=mode,
+                       column_merge="coalesce", compact_delta_files=100,
+                       shuffle_partitions=4)
+    batches = [
+        pd.DataFrame([_ev("I", "m1", 0, "user", "v1", "search", 10, 1)]),
+        pd.DataFrame([_ev("D", "m1", 0, None, None, None, 20, 2)]),
+        pd.DataFrame([_ev("I", "m1", 0, "user", "v2", None, 30, 3)]),
+        # stale event BETWEEN the delete (20) and nothing: 15 < 20 -> its
+        # tool value died with the tombstone and must stay dead
+        pd.DataFrame([_ev("U", "m1", 0, None, None, "python", 15, 4)]),
+    ]
+    root, results = _replay(spark, tmp_path, batches, cfg, f"mem_{mode}")
+    _assert_matches_oracle(spark, root, results, batches)
+    row = TranscriptTable.load(root).scan(spark).collect()[0]
+    assert row["text"] == "v2" and row["tool"] is None, row
+    # post-delete stale fill still works (25 > 20)
+    b4 = pd.DataFrame([_ev("U", "m1", 0, None, None, "sql", 25, 5)])
+    apply_batch(spark, root, spark.createDataFrame(b4), 4, config=cfg)
+    row = TranscriptTable.load(root).scan(spark).collect()[0]
+    assert row["tool"] == "sql"
+    # and compaction preserves the memory (resolve keeps _del_hw exact)
+    from sfr_ingest_pipeline_spark.table.maintenance import compact
+
+    compact(spark, root, config=cfg)
+    b5 = pd.DataFrame([_ev("U", "m1", 0, None, "zombie-text", None, 12, 6)])
+    apply_batch(spark, root, spark.createDataFrame(b5), 5, config=cfg)
+    row = TranscriptTable.load(root).scan(spark).collect()[0]
+    assert row["text"] == "v2", row  # 12 < 20: still blocked post-compaction

@@ -102,7 +102,9 @@ def test_widen_schema():
 
 def test_physical_schema_appends_meta():
     phys = physical_schema(TRANSCRIPT_SCHEMA)
-    assert phys.fieldNames()[-2:] == ["event_seq", "_deleted"]
+    assert phys.fieldNames()[-3:] == ["event_seq", "_deleted", "_del_hw"]
+    hw = phys["_del_hw"].dataType
+    assert hw.fieldNames() == ["ts", "event_seq"]  # order-col types mirrored
 
 
 def test_read_conversation_point_lookup(spark, tmp_path, segments_basic, small_cfg):
