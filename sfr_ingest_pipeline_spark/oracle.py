@@ -165,8 +165,10 @@ def simulate_replay(
     ``column_merge="coalesce"`` mirrors the engine's field-level LWW: a
     partial-update event only overwrites the columns it carries non-null;
     committed state acts as a single row at its row order (per-column
-    set-times are not retained across commits — documented engine
-    semantics); deletes cut all older candidates."""
+    SET-times are not retained across commits — documented engine
+    semantics), but the delete high-water IS retained (engine _del_hw
+    column), so delete cuts are batch-boundary-exact and re-application
+    is idempotent."""
     state: dict[tuple, dict] = {}  # key -> row dict incl. _deleted, ts, event_seq
     counters: list[BatchCounters] = []
     extra_cols: list[str] = []

@@ -139,11 +139,12 @@ def verify_against_binlog(
     ``column_merge="coalesce"`` verifies a field-level-merge table with the
     distributed one-shot fold (operators/lww.py coalesce_lww_reduce). The
     one-shot fold has EXACT per-column orders, while a multi-batch replay
-    folds committed state at its row order — so this check is exact for
-    single-batch replays (the bounded CLI default) and for histories
-    without cross-batch stale fills; batch-boundary-sensitive histories are
-    golden-tested against the sequential oracle instead
-    (tests/test_coalesce_merge.py)."""
+    folds committed state at its row order (delete cuts ARE exact either
+    way via the persisted _del_hw memory) — so this check is exact for
+    single-batch replays (the bounded CLI default) and for histories where
+    no cross-batch stale event outranks the unseen set-time of an existing
+    non-null column; such histories are golden-tested against the
+    sequential oracle instead (tests/test_coalesce_merge.py)."""
     from sfr_ingest_pipeline_spark.functions.normalize import normalize_text_udf
     from sfr_ingest_pipeline_spark.operators.lww import (
         coalesce_lww_reduce,

@@ -84,7 +84,9 @@ def test_merge_plan_no_cartesian_and_partial(spark, tmp_path, segments_basic, sm
     batch = spark.createDataFrame(segments_basic[0])
     phys = physical_schema(TRANSCRIPT_SCHEMA)
     src = _null_fill(batch, TRANSCRIPT_SCHEMA)
-    src = src.withColumn("_deleted", F.col("op") == "D").select(
+    src = src.withColumn("_deleted", F.col("op") == "D").withColumn(
+        "_del_hw", F.lit(None).cast(phys["_del_hw"].dataType)
+    ).select(
         *[f.name for f in phys.fields]
     ).withColumns({
         "_src_rank": F.lit(0), "_n_s": F.lit(1).cast("long"),
