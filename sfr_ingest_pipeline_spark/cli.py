@@ -225,7 +225,12 @@ def cmd_verify(args) -> int:
         spark, args.table, args.binlog, column_merge=args.column_merge
     )
     print(json.dumps(report))
-    return 0 if report["ok"] else 1
+    if report["ok"]:
+        return 0
+    # distinct exit code where the one-shot coalesce fold is documented
+    # approximate (multi-batch history): a CI gate must be able to tell
+    # "documented approximation tripped" (3) from "table is wrong" (1)
+    return 3 if report.get("verdict") == "approximate_mismatch" else 1
 
 
 def cmd_changes(args) -> int:

@@ -61,21 +61,27 @@ def fuzzy_join(
     lc, rc = F.col(col), F.col(right_col)
     if length_bucket:
         k = max_dist + 1
+        # internal helper column: pick a name absent from BOTH inputs so a
+        # caller column can never be silently overwritten then dropped
+        bkt_col = "_fz_lbkt"
+        taken = set(left.columns) | set(right.columns)
+        while bkt_col in taken:
+            bkt_col += "_"
         bkt = F.floor(F.length(rc) / k).cast("long")
         left = left.withColumn(
-            "_fz_lbkt", F.floor(F.length(lc) / k).cast("long")
+            bkt_col, F.floor(F.length(lc) / k).cast("long")
         )
         right = right.withColumn(
-            "_fz_lbkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
+            bkt_col, F.explode(F.array(bkt - 1, bkt, bkt + 1))
         )
-        join_on = block_on + ["_fz_lbkt"]
+        join_on = block_on + [bkt_col]
     else:
         join_on = block_on
     joined = left.join(right, on=join_on, how="inner").filter(
         F.abs(F.length(lc) - F.length(rc)) <= max_dist
     )
     if length_bucket:
-        joined = joined.drop("_fz_lbkt")
+        joined = joined.drop(bkt_col)
     # bounded levenshtein (Spark >= 3.5): banded DP, O(max_dist * len) per
     # pair instead of O(len^2); returns -1 when the bound is exceeded
     # (measured 2x faster even on adversarial same-char strings)

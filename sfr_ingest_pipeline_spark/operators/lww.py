@@ -19,8 +19,20 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _WINNER = "_lww_winner"
+
+
+def _is_present(col: Column, dtype: T.DataType) -> Column:
+    """Column-presence test for the coalesce fold: null is missing, and for
+    float/double so is NaN — the pandas oracle's pd.isna treats both as
+    absent, and an engine that kept NaN as 'present' would diverge from it
+    the moment a numeric payload column carries one (ADVICE r3)."""
+    p = col.isNotNull()
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        p = p & ~F.isnan(col)
+    return p
 
 
 def _reduce_once(
@@ -137,9 +149,10 @@ def coalesce_candidates(
         F.when(F.col("_deleted"), F.struct(*order)), stored_del
     )
     tgt_del = F.when(~is_src, stored_del)
+    types = {f.name: f.dataType for f in df.schema.fields}
     cands = {
         f"_cand_{c}": F.when(
-            is_src & ~F.col("_deleted") & F.col(c).isNotNull(),
+            is_src & ~F.col("_deleted") & _is_present(F.col(c), types[c]),
             F.struct(*order, F.col(c).alias("v")),
         )
         for c in payload_cols
@@ -193,6 +206,12 @@ def coalesce_finalize(
     conflict event can still fill null columns)."""
     n = len(order_cols)
     payload = set(payload_cols)
+    # payload value types (for the NaN-is-missing presence guard on stored
+    # state — e.g. a row-mode-written table re-merged in coalesce mode)
+    tgt_field = next(f for f in df.schema.fields if f.name == "_tgt")
+    p_types = {
+        f.name: f.dataType for f in tgt_field.dataType["p"].dataType.fields
+    }
     tgt = F.col("_tgt")
     tgt_order = F.when(
         tgt.isNotNull(),
@@ -228,7 +247,7 @@ def coalesce_finalize(
         )
         tgt_ok = (
             tgt.isNotNull() & ~F.col("_tgt.del")
-            & F.col(f"_tgt.p.{c}").isNotNull()
+            & _is_present(F.col(f"_tgt.p.{c}"), p_types[c])
             # a live state row always postdates its own delete memory, so
             # this strict guard only fires for NEWER batch deletes
             & (del_hw.isNull() | (tgt_order > del_hw))

@@ -203,13 +203,25 @@ def apply_batch(
 
     key_cols = list(config.key_cols)
     order_cols = list(config.order_cols)
+    # the snapshot's recorded key/order cols are authoritative for stored
+    # layout (read paths and the _del_hw struct derive from them); a config
+    # that disagrees would write rows the table's own scan misreads
+    if (
+        key_cols != list(table.snapshot.key_cols)
+        or order_cols != list(table.snapshot.order_cols)
+    ):
+        raise ValueError(
+            f"config key/order cols {config.key_cols}/{config.order_cols} "
+            f"differ from the table's recorded "
+            f"{tuple(table.snapshot.key_cols)}/{tuple(table.snapshot.order_cols)}"
+        )
 
     # ---- schema evolution (ALTER-on-write) --------------------------------
     incoming_logical = T.StructType(
         [f for f in batch_df.schema.fields if f.name not in _EVENT_META]
     )
     logical = widen_schema(table.schema, incoming_logical, coerce_existing=True)
-    phys = physical_schema(logical)
+    phys = physical_schema(logical, tuple(order_cols))
     phys_cols = [f.name for f in phys.fields]
     carry_cols = [c for c in phys_cols if c not in key_cols]
     schema_changed = logical.jsonValue() != table.schema.jsonValue()

@@ -192,12 +192,20 @@ def verify_against_binlog(
         "ok": missing == 0 and extra == 0,
     }
     last = table.last_batch_id
-    if column_merge == "coalesce" and last is not None and last > 0:
-        # multi-batch coalesce history: the one-shot fold has exact
-        # per-column orders while the engine folded committed state at its
-        # row order, so a mismatch here may be the documented
-        # batch-boundary approximation, not an engine defect — flag it so
-        # a CI gate doesn't read a false failure as corruption
+    multi_batch_coalesce = (
+        column_merge == "coalesce" and last is not None and last > 0
+    )
+    # verdict drives scripted gates (cli verify exit code): "exact" — clean;
+    # "mismatch" — a real defect; "approximate_mismatch" — the diff occurred
+    # where the one-shot coalesce fold is DOCUMENTED approximate (multi-batch
+    # history, cross-batch stale fills), so it must not be read as corruption
+    if report["ok"]:
+        report["verdict"] = "exact"
+    elif multi_batch_coalesce:
+        report["verdict"] = "approximate_mismatch"
+    else:
+        report["verdict"] = "mismatch"
+    if multi_batch_coalesce:
         report["note"] = (
             "coalesce verify against a multi-batch replay is approximate "
             "for cross-batch stale fills (see docstring); exact "

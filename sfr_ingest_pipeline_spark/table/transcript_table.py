@@ -423,7 +423,7 @@ class TranscriptTable:
         them along with the batch), while the logical scan LWW-reduces per
         key by the snapshot's order columns and drops tombstones.
         """
-        phys = physical_schema(self.schema)
+        phys = physical_schema(self.schema, tuple(self.snapshot.order_cols))
         if files is None:
             files = self.files_in_buckets(buckets)
         if not files:
@@ -456,7 +456,7 @@ class TranscriptTable:
             if (f.conv_id_min is None or f.conv_id_min <= conv_id)
             and (f.conv_id_max is None or conv_id <= f.conv_id_max)
         ]
-        phys = physical_schema(self.schema)
+        phys = physical_schema(self.schema, tuple(self.snapshot.order_cols))
         if not files:
             df = spark.createDataFrame([], phys)
         else:
@@ -513,7 +513,7 @@ class TranscriptTable:
         if not added:
             return spark.createDataFrame([], empty)
 
-        phys_new = physical_schema(logical)
+        phys_new = physical_schema(logical, tuple(new_t.snapshot.order_cols))
         cand = (
             spark.read.schema(phys_new)
             .parquet(*[os.path.join(self.root, f.path) for f in added])

@@ -305,3 +305,54 @@ def test_delete_memory_blocks_pre_delete_fill_across_batches(spark, tmp_path, mo
     apply_batch(spark, root, spark.createDataFrame(b5), 5, config=cfg)
     row = TranscriptTable.load(root).scan(spark).collect()[0]
     assert row["text"] == "v2", row  # 12 < 20: still blocked post-compaction
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_float_nan_counts_as_missing(spark, tmp_path, mode):
+    """A float NaN in a payload column is MISSING for the field-level fold
+    (round-3 ADVICE): the pandas oracle's pd.isna already treats it so; the
+    engine must isnan-guard its isNotNull presence tests or the two diverge
+    the moment a numeric payload column carries NaN."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cfg = EngineConfig(n_buckets=4, n_salt=4, merge_mode=mode,
+                       column_merge="coalesce", compact_delta_files=100,
+                       shuffle_partitions=8)
+    root = str(tmp_path / f"nan_{mode}")
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+
+    schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("event_seq", T.LongType()),
+    ])
+    t = lambda us: (T0 + pd.Timedelta(microseconds=us)).to_pydatetime()
+    b0 = [("I", "c1", 0, "user", "hello", None, t(10), 1.5, 1)]
+    b1 = [("U", "c1", 0, None, "v2", None, t(20), float("nan"), 2)]
+    df0 = spark.createDataFrame(b0, schema)
+    df1 = spark.createDataFrame(b1, schema)
+    # prove the guard is exercised: the batch really carries NaN, not null
+    assert df1.filter(F.isnan("score")).count() == 1
+
+    results = [apply_batch(spark, root, df0, 0, config=cfg),
+               apply_batch(spark, root, df1, 1, config=cfg)]
+    got = TranscriptTable.load(root).scan(spark).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["text"] == "v2"
+    assert row["score"] == 1.5 and not math.isnan(row["score"])
+
+    # pandas-oracle agreement on the same history
+    pb0 = pd.DataFrame(b0, columns=[f.name for f in schema.fields])
+    pb1 = pd.DataFrame(b1, columns=[f.name for f in schema.fields])
+    pb1.loc[0, "score"] = np.nan
+    _assert_matches_oracle(spark, root, results, [pb0, pb1])

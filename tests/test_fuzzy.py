@@ -129,3 +129,21 @@ def test_single_coarse_block_completes(spark):
     for (ia, ib), d in got.items():
         assert (ia % 40) == (ib % 40)
         assert d == (0 if ia % 6 == ib % 6 else 1), (ia, ib, d)
+
+
+def test_caller_length_bucket_column_survives(spark):
+    """A caller column named like the internal length-bucket helper must not
+    be overwritten/dropped (round-3 ADVICE): the helper picks a fresh name."""
+    left = spark.createDataFrame(
+        [("x", 1, "kitten", "keepL")], ["blk", "id", "s", "_fz_lbkt"]
+    )
+    right = spark.createDataFrame(
+        [("x", 10, "mitten", "keepR")], ["blk", "rid", "r", "_fz_lbkt_r"]
+    )
+    out = fuzzy_join(
+        left, right.withColumnRenamed("_fz_lbkt_r", "_fz_lbkt__caller"),
+        "s", max_dist=2, block_on="blk", right_col="r",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["_fz_lbkt"] == "keepL"
+    assert out[0]["_fz_lbkt__caller"] == "keepR"

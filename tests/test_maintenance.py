@@ -88,6 +88,7 @@ def test_verify_against_binlog(spark, tmp_path, binlog_basic, small_cfg):
     replay_stream(spark, binlog, root, str(tmp_path / "ckpt"), config=small_cfg)
     report = verify_against_binlog(spark, root, binlog, config=small_cfg)
     assert report["ok"], report
+    assert report["verdict"] == "exact"
 
     # corrupt the table: delete one data file's entry by committing a fake
     table = TranscriptTable.load(root)
@@ -95,6 +96,70 @@ def test_verify_against_binlog(spark, tmp_path, binlog_basic, small_cfg):
     table.commit({victim.bucket}, [], dict(table.snapshot.properties))
     report2 = verify_against_binlog(spark, root, binlog, config=small_cfg)
     assert not report2["ok"] and report2["missing_in_table"] > 0
+    assert report2["verdict"] == "mismatch"
+
+
+def test_verify_coalesce_multibatch_approximate_is_distinguished(
+    spark, tmp_path, capsys
+):
+    """The documented batch-boundary approximation of the one-shot coalesce
+    fold must NOT read as corruption (round-3 ADVICE): the report carries
+    verdict=approximate_mismatch and the CLI exits 3, not 1.
+
+    History built to diverge: b1's text update advances c1-0's ROW order to
+    30, collapsing role's set-time (10 -> 30) in committed state; the b2
+    stale role fill at 20 then loses sequentially but WINS the one-shot
+    fold (exact per-column order: admin@20 > user@10)."""
+    from dataclasses import replace
+
+    from sfr_ingest_pipeline_spark import cli
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+
+    cfg = EngineConfig(n_buckets=4, n_salt=1, shuffle_partitions=8,
+                       column_merge="coalesce")
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(op, us, seq, **kw):
+        base = {"op": op, "conv_id": "c1", "turn_idx": 0, "role": None,
+                "text": None, "tool": None,
+                "ts": t0 + pd.Timedelta(microseconds=us), "event_seq": seq}
+        base.update(kw)
+        return base
+
+    batches = [
+        pd.DataFrame([ev("I", 10, 1, role="user", text="hello")]),
+        pd.DataFrame([ev("U", 30, 2, text="world")]),
+        pd.DataFrame([ev("U", 20, 3, role="admin")]),
+    ]
+    root = str(tmp_path / "approx_t")
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+    for i, seg in enumerate(batches):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=cfg)
+    # sequential (engine) semantics kept the older role
+    row = TranscriptTable.load(root).scan(spark).collect()[0]
+    assert row["role"] == "user" and row["text"] == "world"
+
+    binlog = str(tmp_path / "approx_bl")
+    from pyspark.sql import functions as F
+
+    from sfr_ingest_pipeline_spark.schema import CHANGE_EVENT_SCHEMA
+
+    all_events = pd.concat(batches, ignore_index=True)
+    spark.createDataFrame(all_events).select(
+        *[F.col(f.name).cast(f.dataType) for f in CHANGE_EVENT_SCHEMA.fields]
+    ).write.mode("overwrite").parquet(binlog)
+
+    report = verify_against_binlog(
+        spark, root, binlog, config=cfg, column_merge="coalesce"
+    )
+    assert not report["ok"]
+    assert report["verdict"] == "approximate_mismatch"
+    assert "note" in report
+
+    rc = cli.main(["verify", "--table", root, "--binlog", binlog,
+                   "--column-merge", "coalesce"])
+    capsys.readouterr()
+    assert rc == 3
 
 
 def test_recluster_disjoint_ranges_and_semantics(spark, tmp_path, small_cfg):

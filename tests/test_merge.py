@@ -210,3 +210,64 @@ def test_conv_range_file_pruning_mor_counters_exact(spark, tmp_path):
     assert r1.merge_conflicts == 1 and r1.events_applied == 0
     got = TranscriptTable.load(root).scan(spark).orderBy("conv_id").collect()
     assert [r["text"] for r in got] == ["old a", "old z"]
+
+
+def test_config_key_order_cols_must_match_table(spark, tmp_path, small_cfg):
+    """The snapshot's recorded key/order cols are authoritative; a config
+    that disagrees must fail loudly instead of writing rows the table's own
+    scan misreads (round-3 ADVICE: _del_hw struct is order-col-shaped)."""
+    from dataclasses import replace
+
+    import pytest
+
+    root = str(tmp_path / "cfgmismatch")
+    TranscriptTable.create(root, n_buckets=4)
+    bad = replace(small_cfg, order_cols=("event_seq", "ts"))
+    b = pd.DataFrame([{
+        "op": "I", "conv_id": "c", "turn_idx": 0, "role": "user",
+        "text": "x", "tool": None,
+        "ts": pd.Timestamp("2024-01-01"), "event_seq": 1,
+    }])
+    with pytest.raises(ValueError, match="differ from the table"):
+        apply_batch(spark, root, spark.createDataFrame(b), 0, config=bad)
+
+
+def test_custom_order_cols_end_to_end(spark, tmp_path):
+    """Non-default order_cols thread through physical_schema so the stored
+    _del_hw delete memory carries (event_seq, ts) fields — the round-3
+    ADVICE scenario where a hardcoded struct silently nulled the memory."""
+    from dataclasses import replace
+
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+
+    cfg = EngineConfig(
+        n_buckets=4, n_salt=1, shuffle_partitions=8,
+        column_merge="coalesce", order_cols=("event_seq", "ts"),
+    )
+    root = str(tmp_path / "customorder")
+    TranscriptTable.create(root, n_buckets=4, order_cols=cfg.order_cols)
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(op, seq, **kw):
+        base = {"op": op, "conv_id": "c", "turn_idx": 0, "role": None,
+                "text": None, "tool": None,
+                "ts": t0 + pd.Timedelta(microseconds=seq), "event_seq": seq}
+        base.update(kw)
+        return base
+
+    b0 = pd.DataFrame([ev("I", 1, role="user", text="hello")])
+    b1 = pd.DataFrame([ev("D", 5)])
+    b2 = pd.DataFrame([ev("U", 3, text="zombie")])  # pre-delete by seq order
+    for i, seg in enumerate([b0, b1, b2]):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=cfg)
+    table = TranscriptTable.load(root)
+    # the delete memory survived commits AND blocked the pre-delete fill
+    assert table.scan(spark).count() == 0
+    meta = table.scan(spark, with_meta=True).collect()
+    hw = [r["_del_hw"] for r in meta if r["_del_hw"] is not None]
+    assert hw and hw[0]["event_seq"] == 5
+    # reinsert after the delete (seq order) lands
+    b3 = pd.DataFrame([ev("I", 7, role="user", text="back")])
+    apply_batch(spark, root, spark.createDataFrame(b3), 3, config=cfg)
+    rows = TranscriptTable.load(root).scan(spark).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "back"
