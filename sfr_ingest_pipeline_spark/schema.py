@@ -151,12 +151,61 @@ def widen_schema(
     lossless (int->long, float->double, date->timestamp, ...) or a
     runtime-checked integral narrowing (see :func:`coercion_kind` — the
     writer raises on actual overflow instead of silently truncating);
-    anything else raises at plan time with a remediation hint. Renames are
-    structurally indistinguishable from drop+add and are therefore treated
-    as ADD (the old column stays, null-filled); dropping or renaming
-    columns is deliberately not supported on the write path.
+    anything else raises at plan time with a remediation hint.
+
+    Supported evolution matrix (no field ids — Iceberg DROP/RENAME COLUMN
+    are impossible on this layout, and both are rejected explicitly):
+
+      * ADD nullable column            -> appended (ALTER-on-write)
+      * missing NULLABLE column        -> legal, null-filled (old producer)
+      * missing NON-NULLABLE column    -> raise (drop not supported)
+      * 1 dropped + 1 added, same type -> raise (suspected rename)
+      * type change, lossless upcast   -> silent cast (ingest path)
+      * type change, integral narrow   -> runtime-checked cast
+      * any other type change          -> raise
     """
     base_names = {f.name for f in base.fields}
+    incoming_names = {f.name for f in incoming.fields}
+    # drop/rename detection applies on the INGEST path only
+    # (coerce_existing=True — a whole batch entering the table); with
+    # coerce_existing=False this is a generic schema union where partial
+    # incoming structs are normal (e.g. "add these columns").
+    missing = (
+        [f for f in base.fields if f.name not in incoming_names]
+        if coerce_existing else []
+    )
+    added = [f for f in incoming.fields if f.name not in base_names]
+    # Dropping a REQUIRED column cannot be additive evolution: without
+    # field ids (Iceberg DROP/RENAME COLUMN) the table format cannot tell
+    # a producer bug from an intended drop, so fail loudly. Missing
+    # NULLABLE columns stay legal (an older-schema producer after a
+    # widening null-fills them — the v1-binlog-after-v2 path).
+    dropped_required = [f for f in missing if not f.nullable]
+    if dropped_required:
+        names = ", ".join(repr(f.name) for f in dropped_required)
+        raise ValueError(
+            f"batch schema drops non-nullable column(s) {names}: dropping "
+            "columns is not supported — this table format has no field-id "
+            "evolution (Iceberg DROP COLUMN); fix the producer or rewrite "
+            "the table under a new schema explicitly."
+        )
+    # Rename heuristic: exactly one column vanished and exactly one new
+    # column of the IDENTICAL type appeared — structurally a rename, which
+    # without field ids would silently fork the column (old one null-filled
+    # forever, new one starting empty). Reject with the real fix spelled
+    # out; a genuine simultaneous drop+add of the same type must be done as
+    # two separate batches.
+    if len(missing) == 1 and len(added) == 1 \
+            and missing[0].dataType == added[0].dataType:
+        raise ValueError(
+            f"batch schema looks like a rename of {missing[0].name!r} -> "
+            f"{added[0].name!r} (one column of {added[0].dataType.simpleString()} "
+            "dropped, one added): renaming columns requires field-id "
+            "evolution (Iceberg RENAME COLUMN), which this table format "
+            "does not support. Keep the old column name, or evolve in two "
+            "steps (add the new column first, stop writing the old one "
+            "later) if a fork is genuinely intended."
+        )
     out = list(base.fields)
     for f in incoming.fields:
         if f.name in base_names:

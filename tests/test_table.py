@@ -587,3 +587,46 @@ def test_engine_config_validates_modes():
         coerce_existing=True,
     )
     assert widened["x"].dataType == T.IntegerType()
+
+
+def test_widen_schema_rejects_drop_and_rename():
+    """Evolution edges (VERDICT r3 item 4): dropping a non-nullable column
+    and a drop+add pair of identical type (suspected rename) both raise
+    dedicated errors naming the field-id limitation; missing NULLABLE
+    columns stay legal (older-producer path)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    # drop of a required column
+    no_key = T.StructType(
+        [f for f in TRANSCRIPT_SCHEMA.fields if f.name != "turn_idx"]
+    )
+    with pytest.raises(ValueError, match="non-nullable.*'turn_idx'.*field-id"):
+        widen_schema(TRANSCRIPT_SCHEMA, no_key, coerce_existing=True)
+
+    # rename heuristic: drop nullable 'tool' (string), add 'tool2' (string)
+    renamed = T.StructType(
+        [f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"]
+        + [T.StructField("tool2", T.StringType(), True)]
+    )
+    with pytest.raises(ValueError, match="rename of 'tool' -> 'tool2'"):
+        widen_schema(TRANSCRIPT_SCHEMA, renamed, coerce_existing=True)
+
+    # older nullable-missing producer remains legal (v1 after v2 widening)
+    v1_after_widen = TRANSCRIPT_SCHEMA
+    base_v2 = widen_schema(
+        TRANSCRIPT_SCHEMA,
+        T.StructType(TRANSCRIPT_SCHEMA.fields
+                     + [T.StructField("tool_meta", T.StringType(), True)]),
+    )
+    out = widen_schema(base_v2, v1_after_widen, coerce_existing=True)
+    assert [f.name for f in out.fields] == [f.name for f in base_v2.fields]
+
+    # drop+add of DIFFERENT types is not a suspected rename: additive ADD
+    diff = T.StructType(
+        [f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"]
+        + [T.StructField("n_tokens", T.LongType(), True)]
+    )
+    out2 = widen_schema(TRANSCRIPT_SCHEMA, diff, coerce_existing=True)
+    assert "n_tokens" in [f.name for f in out2.fields]
+    assert "tool" in [f.name for f in out2.fields]
