@@ -81,6 +81,7 @@ from sfr_ingest_pipeline_spark.operators.lww import (
 )
 from sfr_ingest_pipeline_spark.schema import coercion_kind, widen_schema
 from sfr_ingest_pipeline_spark.table.transcript_table import (
+    CommitConflictError,
     TranscriptTable,
     bucket_expr,
     commit_seq_col,
@@ -88,6 +89,22 @@ from sfr_ingest_pipeline_spark.table.transcript_table import (
 )
 
 _EVENT_META = ("op", "event_seq")
+
+
+def _commit_or_skip(table: TranscriptTable, batch_id: int, *args, **kwargs):
+    """CAS commit with ingest-level conflict handling: if a concurrent
+    writer advanced the batch marker past ours, this batch was applied by
+    someone else — an idempotent skip, not an error. Any other conflict
+    (overlapping bucket rewrite, schema/layout change) propagates for the
+    caller to re-run. Returns (table_after, skipped)."""
+    try:
+        return table.commit(*args, **kwargs), False
+    except CommitConflictError:
+        latest = TranscriptTable.load(table.root)
+        last = latest.last_batch_id
+        if last is not None and last >= batch_id:
+            return latest, True
+        raise
 
 
 @dataclass
@@ -259,12 +276,14 @@ def apply_batch(
 
     if not touched:
         # empty batch: still commit the batch-id marker for idempotency
-        new_table = table.commit(
+        new_table, was_skipped = _commit_or_skip(
+            table, batch_id,
             set(), [], _props(batch_id, rows_in, 0, 0, 0, {}),
             schema=logical if schema_changed else None,
         )
         return MergeResult(
-            batch_id, committed=True, rows_in=rows_in,
+            batch_id, committed=not was_skipped, skipped=was_skipped,
+            rows_in=rows_in,
             snapshot_id=new_table.snapshot.snapshot_id,
             elapsed_sec=time.time() - t0,
         )
@@ -423,13 +442,17 @@ def apply_batch(
     )
     lineage = _lineage(table, set(touched), replace_buckets, new_files,
                        carry_paths)
-    new_table = table.commit(
+    new_table, was_skipped = _commit_or_skip(
+        table, batch_id,
         replace_buckets,
         new_files,
         _props(batch_id, rows_in, dedup_dropped, applied, conflicts, lineage),
         schema=logical if schema_changed else None,
         carry_files=carry_paths,
     )
+    if was_skipped:
+        return MergeResult(batch_id, committed=False, skipped=True,
+                           rows_in=rows_in, elapsed_sec=time.time() - t0)
     return MergeResult(
         batch_id, committed=True, rows_in=rows_in,
         dedup_dropped=dedup_dropped, events_applied=applied,

@@ -4,8 +4,11 @@ No Iceberg/Delta jars exist in this sandbox (SURVEY.md §0.4), so the table
 layer the north rule assumes is implemented here with the same core ideas:
 
   * immutable Parquet data files + a JSON snapshot log under ``metadata/``;
-  * a ``version-hint.text`` pointer updated by atomic rename — the single
-    commit point (crash before rename = no commit, after = committed);
+  * optimistic concurrency: the commit point is the CAS (create-exclusive)
+    write of the next snapshot JSON — concurrent writers race for the id,
+    the loser rebases onto disjoint winners or gets CommitConflictError
+    (the Iceberg Hadoop-catalog protocol); ``version-hint.text`` is a
+    monotone read cache readers roll forward past;
   * snapshots carry ``properties`` (idempotent batch-id markers, counters,
     per-partition lineage — BASELINE.json:6) and a schema (additive
     evolution, ALTER-on-write);
@@ -181,6 +184,14 @@ class Snapshot:
         return Snapshot(legacy_files=legacy, **d)
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed a snapshot this commit cannot be
+    rebased onto (overlapping buckets, moved batch marker, changed schema
+    or layout). The losing writer must re-run its operation against the
+    current table state — its data files are orphans a later
+    ``expire_snapshots`` garbage-collects."""
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -188,6 +199,22 @@ def _atomic_write_json(path: str, payload: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)  # atomic on POSIX
+
+
+def _atomic_create_json(path: str, payload: dict) -> None:
+    """Create ``path`` with CAS semantics: the hard link either installs the
+    fully-written temp file under the target name or raises FileExistsError
+    — two writers racing the same snapshot id cannot both win, and a file
+    that exists is always complete (link-after-fsync)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f, ensure_ascii=False, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
 
 
 def _atomic_write_text(path: str, text: str) -> None:
@@ -199,8 +226,57 @@ def _atomic_write_text(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
+def _rebase_or_raise(
+    base: "TranscriptTable",
+    latest: "TranscriptTable",
+    touched: set[int],
+    props: dict,
+) -> dict:
+    """Validate that a commit built against ``base`` may be replayed onto
+    ``latest`` (a concurrent winner); returns the (possibly marker-refreshed)
+    properties, or raises :class:`CommitConflictError`."""
+    bs, ls = base.snapshot, latest.snapshot
+    if ls.n_buckets != bs.n_buckets:
+        raise CommitConflictError(
+            f"bucket layout changed concurrently ({bs.n_buckets} -> "
+            f"{ls.n_buckets}); re-run against the current table"
+        )
+    if ls.key_cols != bs.key_cols or ls.order_cols != bs.order_cols:
+        raise CommitConflictError("key/order columns changed concurrently")
+    if ls.schema_json != bs.schema_json:
+        raise CommitConflictError(
+            "table schema evolved concurrently; re-run against the current "
+            "schema"
+        )
+    for b in sorted(touched):
+        if (
+            {f.path for f in latest.files_in_buckets({b})}
+            != {f.path for f in base.files_in_buckets({b})}
+        ):
+            raise CommitConflictError(
+                f"bucket {b} was rewritten by a concurrent commit "
+                f"(snapshot {ls.snapshot_id}); re-run against it"
+            )
+    base_marker = bs.properties.get("batch_id")
+    latest_marker = ls.properties.get("batch_id")
+    props = dict(props)
+    if props.get("batch_id") == base_marker:
+        # maintenance-style carry-forward: adopt the winner's marker — the
+        # committed marker must never regress (exactly-once bookkeeping)
+        props["batch_id"] = latest_marker
+    elif latest_marker != base_marker:
+        # marker-advancing ingest commit racing another ingest: the batch
+        # may already be applied — the caller decides (apply_batch skips)
+        raise CommitConflictError(
+            f"batch marker advanced concurrently ({base_marker} -> "
+            f"{latest_marker}); reload and re-check idempotency"
+        )
+    return props
+
+
 class TranscriptTable:
-    """Single-writer snapshot-log table rooted at ``root`` (local or shared FS)."""
+    """Snapshot-log table rooted at ``root`` (local or shared FS); concurrent
+    writers are serialized by the CAS commit (see :meth:`commit`)."""
 
     def __init__(self, root: str, snapshot: Snapshot):
         self.root = root
@@ -240,16 +316,44 @@ class TranscriptTable:
             key_cols=list(key_cols),
             order_cols=list(order_cols),
         )
-        _atomic_write_json(cls._snap_path(root, 1), snap.to_json())
+        # CAS here too: two racing creates must not both think they made the
+        # table (the loser's snapshot would silently shadow the winner's)
+        _atomic_create_json(cls._snap_path(root, 1), snap.to_json())
         _atomic_write_text(os.path.join(root, "metadata", "version-hint.text"), "1")
         return cls(root, snap)
+
+    @staticmethod
+    def _ids_on_disk(root: str) -> list[int]:
+        out = []
+        for fn in os.listdir(os.path.join(root, "metadata")):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    out.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     @classmethod
     def load(cls, root: str, snapshot_id: int | None = None) -> "TranscriptTable":
         if snapshot_id is None:
             hint = os.path.join(root, "metadata", "version-hint.text")
-            with open(hint, encoding="utf-8") as f:
-                snapshot_id = int(f.read().strip())
+            try:
+                with open(hint, encoding="utf-8") as f:
+                    snapshot_id = int(f.read().strip())
+            except FileNotFoundError:
+                # creator crashed (or is mid-race) between the CAS'd v1 and
+                # the first hint write — the snapshot files are authoritative
+                ids = cls._ids_on_disk(root)
+                if not ids:
+                    raise
+                snapshot_id = ids[0]
+            # The COMMIT POINT is the CAS-created snapshot file; the hint is
+            # a read cache a crashed writer may have left one commit behind.
+            # Snapshot files are complete by construction (link-after-fsync),
+            # so rolling forward to the newest id on disk is always safe.
+            newer = [i for i in cls._ids_on_disk(root) if i > snapshot_id]
+            if newer:
+                snapshot_id = max(newer)
         with open(cls._snap_path(root, snapshot_id), encoding="utf-8") as f:
             snap = Snapshot.from_json(json.load(f))
         return cls(root, snap)
@@ -260,17 +364,15 @@ class TranscriptTable:
 
     @classmethod
     def load_or_create(cls, root: str, **create_kwargs) -> "TranscriptTable":
-        return cls.load(root) if cls.exists(root) else cls.create(root, **create_kwargs)
+        if cls.exists(root):
+            return cls.load(root)
+        try:
+            return cls.create(root, **create_kwargs)
+        except FileExistsError:
+            return cls.load(root)  # lost the create race — adopt the winner
 
     def _snapshot_ids_on_disk(self) -> list[int]:
-        out = []
-        for fn in os.listdir(self._meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                try:
-                    out.append(int(fn[1:-5]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        return self._ids_on_disk(self.root)
 
     def _rollback_points(self) -> list[int]:
         """Snapshot ids of rollback commits (sidecar written by rollback()):
@@ -587,80 +689,132 @@ class TranscriptTable:
         * ONE manifest file is written holding the post-commit file lists of
           every touched bucket; untouched buckets re-reference the parent's
           manifests — the snapshot JSON stays O(n_buckets);
-        * the version-hint rename is the atomic commit point (SURVEY §4.3/4.4);
+        * the COMMIT POINT is the CAS (create-exclusive) write of the
+          snapshot JSON keyed by its id: two writers racing the same child
+          id cannot both win. The loser reloads the winner's state and
+          REBASES when the winner is provably disjoint (untouched buckets,
+          same schema/layout, batch marker rules below) or raises
+          :class:`CommitConflictError`. ``version-hint.text`` is a
+          monotonically-advanced read cache, not the commit point — readers
+          roll forward past a stale hint (see :meth:`load`);
         * ``n_buckets`` (bucket-layout evolution) is only legal when EVERY
           bucket is replaced — a partial rewrite under a new hash layout
           would leave files whose bucket ids mean the old layout.
+
+        Rebase rules (optimistic concurrency — ingest racing maintenance):
+        a commit rebases onto a concurrent winner iff the winner left every
+        bucket this commit touches byte-identical (file sets unchanged), the
+        schema / bucket layout / key+order cols are unchanged, and the batch
+        marker either did not move (for marker-advancing ingest commits) or
+        is adopted from the winner (for maintenance commits that carry the
+        parent's marker forward — the marker must never regress, or replayed
+        batches would double-count).
         """
-        if n_buckets is not None and n_buckets != self.snapshot.n_buckets:
-            if set(replace_buckets) != set(range(self.snapshot.n_buckets)):
-                raise ValueError(
-                    "bucket-layout change requires replacing every bucket"
-                )
-        cur = self.snapshot
+        base = self  # the state this operation actually read
         carry = carry_files or set()
         new_by_bucket: dict[int, list[DataFileInfo]] = {}
         for f in new_files:
             new_by_bucket.setdefault(f.bucket, []).append(f)
         touched = set(replace_buckets) | set(new_by_bucket)
+        props = dict(properties)
 
-        post: dict[int, list[DataFileInfo]] = {}
-        for b in touched:
-            old = self.files_in_buckets({b})
-            if b in replace_buckets:
-                keep = [f for f in old if f.path in carry]
-            else:
-                keep = old
-            post[b] = keep + new_by_bucket.get(b, [])
-
-        if cur.legacy_files is None:
-            manifests = dict(cur.manifests)
-        else:
-            # migrating a legacy snapshot: materialize untouched buckets into
-            # the new manifest too (one-time O(files) rewrite)
-            manifests = {}
-            for f in cur.legacy_files:
-                if f.bucket not in touched:
-                    post.setdefault(f.bucket, []).append(f)
-        if post:
-            mf_rel = "/".join([
-                "metadata", "manifests",
-                f"mf-{cur.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}.json",
-            ])
-            os.makedirs(os.path.join(self.root, "metadata", "manifests"), exist_ok=True)
-            _atomic_write_json(
-                os.path.join(self.root, mf_rel),
-                {str(b): [asdict(f) for f in fs] for b, fs in post.items()},
-            )
-            for b, fs in post.items():
-                if fs:
-                    manifests[str(b)] = mf_rel
-                else:
-                    manifests.pop(str(b), None)
-        else:
+        parent: "TranscriptTable" = self
+        for _attempt in range(10):
+            cur = parent.snapshot
+            if n_buckets is not None and n_buckets != cur.n_buckets:
+                if set(replace_buckets) != set(range(cur.n_buckets)):
+                    raise ValueError(
+                        "bucket-layout change requires replacing every bucket"
+                    )
+            post: dict[int, list[DataFileInfo]] = {}
             for b in touched:
-                manifests.pop(str(b), None)
+                old = parent.files_in_buckets({b})
+                if b in replace_buckets:
+                    keep = [f for f in old if f.path in carry]
+                else:
+                    keep = old
+                post[b] = keep + new_by_bucket.get(b, [])
 
-        schema_json = (schema or self.schema).jsonValue()
-        schema_id = cur.schema_id + (0 if schema_json == cur.schema_json else 1)
-        snap = Snapshot(
-            snapshot_id=cur.snapshot_id + 1,
-            parent_id=cur.snapshot_id,
-            created_us=int(time.time() * 1e6),
-            schema_id=schema_id,
-            schema_json=schema_json,
-            n_buckets=n_buckets if n_buckets is not None else cur.n_buckets,
-            manifests=manifests,
-            properties=properties,
-            key_cols=list(cur.key_cols),
-            order_cols=list(cur.order_cols),
+            if cur.legacy_files is None:
+                manifests = dict(cur.manifests)
+            else:
+                # migrating a legacy snapshot: materialize untouched buckets
+                # into the new manifest too (one-time O(files) rewrite)
+                manifests = {}
+                for f in cur.legacy_files:
+                    if f.bucket not in touched:
+                        post.setdefault(f.bucket, []).append(f)
+            if post:
+                mf_rel = "/".join([
+                    "metadata", "manifests",
+                    f"mf-{cur.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}.json",
+                ])
+                os.makedirs(
+                    os.path.join(self.root, "metadata", "manifests"), exist_ok=True
+                )
+                _atomic_write_json(
+                    os.path.join(self.root, mf_rel),
+                    {str(b): [asdict(f) for f in fs] for b, fs in post.items()},
+                )
+                for b, fs in post.items():
+                    if fs:
+                        manifests[str(b)] = mf_rel
+                    else:
+                        manifests.pop(str(b), None)
+            else:
+                for b in touched:
+                    manifests.pop(str(b), None)
+
+            schema_json = (schema or base.schema).jsonValue()
+            schema_id = cur.schema_id + (
+                0 if schema_json == cur.schema_json else 1
+            )
+            snap = Snapshot(
+                snapshot_id=cur.snapshot_id + 1,
+                parent_id=cur.snapshot_id,
+                created_us=int(time.time() * 1e6),
+                schema_id=schema_id,
+                schema_json=schema_json,
+                n_buckets=n_buckets if n_buckets is not None else cur.n_buckets,
+                manifests=manifests,
+                properties=props,
+                key_cols=list(cur.key_cols),
+                order_cols=list(cur.order_cols),
+            )
+            try:
+                # COMMIT POINT (CAS):
+                _atomic_create_json(
+                    self._snap_path(self.root, snap.snapshot_id), snap.to_json()
+                )
+            except FileExistsError:
+                # a concurrent writer won this snapshot id (a failed
+                # attempt's manifest file is orphaned — expire GCs it)
+                latest = TranscriptTable.load(self.root)
+                if latest.snapshot.snapshot_id <= cur.snapshot_id:
+                    ids = self._ids_on_disk(self.root)
+                    latest = TranscriptTable.load(self.root, max(ids))
+                props = _rebase_or_raise(base, latest, touched, props)
+                parent = latest
+                continue
+            self._advance_hint(snap.snapshot_id)
+            return TranscriptTable(self.root, snap)
+        raise CommitConflictError(
+            "commit lost the CAS race 10 times in a row — writer storm; "
+            "re-run the operation"
         )
-        _atomic_write_json(self._snap_path(self.root, snap.snapshot_id), snap.to_json())
-        # COMMIT POINT:
-        _atomic_write_text(
-            os.path.join(self._meta_dir, "version-hint.text"), str(snap.snapshot_id)
-        )
-        return TranscriptTable(self.root, snap)
+
+    def _advance_hint(self, snapshot_id: int) -> None:
+        """Advance the version-hint read cache, never regressing it: a slow
+        writer for an older id must not shadow a newer commit (readers roll
+        forward regardless — this only keeps the common path O(1))."""
+        hint_path = os.path.join(self._meta_dir, "version-hint.text")
+        try:
+            with open(hint_path, encoding="utf-8") as f:
+                cur = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            cur = 0
+        if snapshot_id > cur:
+            _atomic_write_text(hint_path, str(snapshot_id))
 
     def rollback(self, to_snapshot_id: int) -> "TranscriptTable":
         """Restore the table to an earlier snapshot's state as a NEW commit
@@ -694,21 +848,29 @@ class TranscriptTable:
             key_cols=list(target.key_cols),
             order_cols=list(target.order_cols),
         )
-        _atomic_write_json(self._snap_path(self.root, snap.snapshot_id), snap.to_json())
         # record the monotonicity break BEFORE the commit point so time
         # travel by batch id stays exact (load_snapshot_as_of_batch segments
         # its binary search at these ids); a crash between the two writes
-        # leaves an unreferenced snapshot + a harmless extra boundary
+        # leaves a harmless extra boundary, never a missed one
         points = set(self._rollback_points())
         points.add(snap.snapshot_id)
         _atomic_write_json(
             os.path.join(self._meta_dir, "rollback-points.json"),
             sorted(points),
         )
-        # COMMIT POINT:
-        _atomic_write_text(
-            os.path.join(self._meta_dir, "version-hint.text"), str(snap.snapshot_id)
-        )
+        try:
+            # COMMIT POINT (CAS) — rollback does not rebase: restoring an
+            # old state over a concurrent commit is exactly the race a CAS
+            # must surface to a human
+            _atomic_create_json(
+                self._snap_path(self.root, snap.snapshot_id), snap.to_json()
+            )
+        except FileExistsError:
+            raise CommitConflictError(
+                f"rollback lost the commit race for snapshot "
+                f"{snap.snapshot_id}; reload and retry deliberately"
+            ) from None
+        self._advance_hint(snap.snapshot_id)
         return TranscriptTable(self.root, snap)
 
     # -------------------------------------------------------- file harvest

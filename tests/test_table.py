@@ -35,22 +35,32 @@ def test_commit_is_atomic_no_tmp_garbage(tmp_path):
     assert TranscriptTable.load(root).snapshot.snapshot_id == 2
 
 
-def test_orphan_snapshot_not_visible(tmp_path):
-    """Crash between snapshot-file write and hint rename: loader ignores it."""
+def test_cas_commit_point_and_hint_roll_forward(tmp_path):
+    """The CAS-created snapshot file IS the commit (round-4 optimistic
+    concurrency): a writer that crashed between the CAS and the hint update
+    left a COMPLETE committed snapshot, and readers roll forward past the
+    stale hint instead of ignoring it."""
     root = str(tmp_path / "t")
     t = TranscriptTable.create(root)
-    # simulate crash: write v2 snapshot file but never move the hint
-    snap = t.snapshot
-    payload = snap.to_json()
-    payload["snapshot_id"] = 2
-    import json
-
-    with open(TranscriptTable._snap_path(root, 2), "w") as f:
-        json.dump(payload, f)
-    assert TranscriptTable.load(root).snapshot.snapshot_id == 1
-    # next commit overwrites the orphan
     t2 = t.commit(set(), [], {"batch_id": 0})
     assert t2.snapshot.snapshot_id == 2
+    # simulate hint-update crash: regress the hint below the newest commit
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    assert TranscriptTable.load(root).snapshot.snapshot_id == 2
+    # a stale parent whose commit RE-ADVANCES the marker conflicts — the
+    # idempotent-skip decision belongs to the caller (merge._commit_or_skip)
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        CommitConflictError,
+    )
+
+    with pytest.raises(CommitConflictError, match="marker advanced"):
+        t.commit(set(), [], {"batch_id": 0})
+    # a stale maintenance-style commit (marker carry-forward) rebases and
+    # adopts the winner's marker — never regresses it
+    t3 = t.commit(set(), [], {"batch_id": None,
+                              "maintenance": {"op": "noop"}})
+    assert t3.snapshot.snapshot_id == 3
     assert TranscriptTable.load(root).last_batch_id == 0
 
 
