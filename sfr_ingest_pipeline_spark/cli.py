@@ -31,6 +31,20 @@ def _add_spark_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shuffle-partitions", type=int, default=None)
 
 
+def _parse_ts_us(raw: str) -> int:
+    """Accepts microseconds-since-epoch or an ISO-8601 datetime (naive is
+    read as UTC — the engine's session timezone)."""
+    try:
+        return int(raw)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+
 def _get_spark(args):
     from sfr_ingest_pipeline_spark.session import get_spark
 
@@ -138,6 +152,8 @@ def cmd_scan(args) -> int:
     table = TranscriptTable.load(args.table)
     if args.as_of_batch is not None:
         table = table.load_snapshot_as_of_batch(args.as_of_batch)
+    if args.as_of_ts is not None:
+        table = table.load_snapshot_as_of_timestamp(_parse_ts_us(args.as_of_ts))
     df = table.scan(spark, with_meta=args.with_meta)
     df = df.orderBy("conv_id", "turn_idx")
     if args.limit:
@@ -348,6 +364,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True)
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--as-of-batch", type=int, default=None)
+    s.add_argument("--as-of-ts", default=None,
+                   help="time travel to the newest snapshot committed at or "
+                        "before this wall-clock time (microseconds since "
+                        "epoch, or an ISO-8601 datetime)")
     s.add_argument("--with-meta", action="store_true")
     _add_spark_args(s)
     s.set_defaults(fn=cmd_scan)

@@ -428,6 +428,36 @@ class TranscriptTable:
                 return TranscriptTable(self.root, best)
         raise ValueError(f"no snapshot at or before batch {batch_id}")
 
+    def load_snapshot_as_of_timestamp(self, ts_us: int) -> "TranscriptTable":
+        """Time travel by wall-clock: the NEWEST retained snapshot whose
+        ``created_us`` <= ``ts_us``.
+
+        ``created_us`` is stamped at commit time and snapshot ids are
+        linearized by the CAS commit, so it is non-decreasing in snapshot id
+        (ids, not clocks, are the source of truth; pathological writer clock
+        skew would bisect to the newest id whose stamp fits, which is the
+        only sane answer under skew). Unlike batch-id travel this needs no
+        rollback segmentation — a rollback COMMIT is newer than everything
+        before it — so one O(log n_commits) binary search suffices."""
+        ids = [i for i in self._snapshot_ids_on_disk()
+               if i <= self.snapshot.snapshot_id]
+        lo, hi, best = 0, len(ids) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            with open(self._snap_path(self.root, ids[mid]), encoding="utf-8") as f:
+                s = Snapshot.from_json(json.load(f))
+            if s.created_us <= ts_us:
+                best, lo = s, mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before ts_us={ts_us} "
+                f"(oldest retained was created at "
+                f"{'-' if not ids else 'a later time'})"
+            )
+        return TranscriptTable(self.root, best)
+
     # ------------------------------------------------------------ metadata
     @property
     def schema(self) -> T.StructType:

@@ -640,3 +640,45 @@ def test_widen_schema_rejects_drop_and_rename():
     out2 = widen_schema(TRANSCRIPT_SCHEMA, diff, coerce_existing=True)
     assert "n_tokens" in [f.name for f in out2.fields]
     assert "tool" in [f.name for f in out2.fields]
+
+
+def test_timestamp_time_travel_matches_snapshot_travel(tmp_path):
+    """as-of-timestamp travel lands on exactly the snapshot committed at
+    that wall-clock instant, including ACROSS a rollback boundary (where
+    batch-id travel needs segmentation, wall-clock travel does not)."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root, n_buckets=4)
+
+    def f(p, b):
+        return DataFileInfo(path=p, bucket=b, rows=1, live_rows=1)
+
+    _time.sleep(0.002)
+    t = t.commit({0}, [f("data/a.parquet", 0)], {"batch_id": 0})
+    _time.sleep(0.002)
+    t = t.commit({1}, [f("data/b.parquet", 1)], {"batch_id": 1})
+    _time.sleep(0.002)
+    t = t.rollback(2)  # restores batch 0's state as snapshot 4
+    _time.sleep(0.002)
+    t = t.commit({2}, [f("data/c.parquet", 2)], {"batch_id": 1})
+
+    hist = t.history()
+    assert [s.snapshot_id for s in hist] == [1, 2, 3, 4, 5]
+    for s in hist:
+        got = t.load_snapshot_as_of_timestamp(s.created_us)
+        assert got.snapshot.snapshot_id == s.snapshot_id
+        # just before this snapshot's stamp -> its parent
+        if s.snapshot_id > 1:
+            prev = t.load_snapshot_as_of_timestamp(s.created_us - 1)
+            assert prev.snapshot.snapshot_id == s.snapshot_id - 1
+    # the pre-rollback snapshot 3 stays reachable by wall-clock even though
+    # batch-id travel for its marker resolves inside a different segment
+    s3 = hist[2]
+    assert t.load_snapshot_as_of_timestamp(s3.created_us).last_batch_id == 1
+    assert t.load_snapshot_as_of_batch(1).snapshot.snapshot_id == 5
+    with pytest.raises(ValueError):
+        t.load_snapshot_as_of_timestamp(hist[0].created_us - 10)
+    # far future -> current snapshot
+    cur = t.load_snapshot_as_of_timestamp(hist[-1].created_us + 10_000_000)
+    assert cur.snapshot.snapshot_id == 5
