@@ -82,7 +82,14 @@ def compact(
 def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     """Drop snapshot metadata older than the last ``keep_last`` and delete
     data files no retained snapshot references. The time-travel window
-    shrinks to the retained set; the current snapshot is always retained."""
+    shrinks to the retained set; the current snapshot is always retained.
+
+    Retention contract for concurrent readers: a reader holding a RETAINED
+    snapshot keeps reading exactly (its files survive GC by reference); a
+    reader whose snapshot is expired gets a deterministic
+    ``SnapshotExpiredError`` at its next scan, never a silent read of a
+    half-GC'd file set. Size ``keep_last`` above the longest reader's
+    lifetime in commits (tests/test_maintenance.py pins both behaviors)."""
     table = TranscriptTable.load(table_root)
     current = table.snapshot.snapshot_id
     keep_ids = set(range(max(1, current - keep_last + 1), current + 1))

@@ -184,6 +184,15 @@ class Snapshot:
         return Snapshot(legacy_files=legacy, **d)
 
 
+class SnapshotExpiredError(RuntimeError):
+    """The snapshot this reader holds was garbage-collected by
+    ``expire_snapshots`` — its data files may be gone. Readers must reload
+    and use a retained snapshot. The retention contract: ``keep_last`` must
+    exceed the longest-running reader's lifetime in commits; this error is
+    the deterministic failure mode when it does not (instead of a
+    FileNotFoundError mid-job from a half-GC'd file set)."""
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent writer committed a snapshot this commit cannot be
     rebased onto (overlapping buckets, moved batch marker, changed schema
@@ -554,7 +563,12 @@ class TranscriptTable:
         multi-version rows (the MERGE operator's fused aggregation resolves
         them along with the batch), while the logical scan LWW-reduces per
         key by the snapshot's order columns and drops tombstones.
+
+        Raises :class:`SnapshotExpiredError` when this reader's snapshot was
+        GC'd by ``expire_snapshots`` since it was loaded — a clean plan-time
+        error instead of FileNotFoundError mid-job on half-GC'd files.
         """
+        self._assert_retained()
         phys = physical_schema(self.schema, tuple(self.snapshot.order_cols))
         if files is None:
             files = self.files_in_buckets(buckets)
@@ -580,6 +594,7 @@ class TranscriptTable:
         reference's identifier lookup (SURVEY.md §2.3 J1) on the read side."""
         # driver-side twin of bucket_expr (verified bit-exact vs Spark's
         # xxhash64 in tests) — no 1-row Spark job per lookup
+        self._assert_retained()
         from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
 
         bucket = bucket_of(conv_id, self.n_buckets)
@@ -832,6 +847,20 @@ class TranscriptTable:
             "commit lost the CAS race 10 times in a row — writer storm; "
             "re-run the operation"
         )
+
+    def _assert_retained(self) -> None:
+        """A snapshot whose metadata file is gone was expired: raise the
+        dedicated error rather than letting a Spark job discover missing
+        data files one task at a time. (A GC racing BETWEEN this check and
+        job execution is still the caller's retention-contract violation —
+        the check makes the common stale-reader case deterministic.)"""
+        if not os.path.exists(self._snap_path(self.root, self.snapshot.snapshot_id)):
+            raise SnapshotExpiredError(
+                f"snapshot {self.snapshot.snapshot_id} of table "
+                f"{self.root!r} was expired by snapshot GC; reload the "
+                "table and read a retained snapshot (raise keep_last if "
+                "long-running readers need deeper history)"
+            )
 
     def _advance_hint(self, snapshot_id: int) -> None:
         """Advance the version-hint read cache, never regressing it: a slow

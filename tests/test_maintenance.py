@@ -284,3 +284,43 @@ def test_rebucket_layout_evolution(spark, tmp_path, small_cfg):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.commit({0}, [], {"batch_id": 99}, n_buckets=16)
+
+
+def test_reader_vs_expire_retention_contract(spark, tmp_path, small_cfg):
+    """VERDICT r3 item 9: a reader holding a loaded table while
+    expire_snapshots GCs its snapshot either fails cleanly
+    (SnapshotExpiredError) or — if its snapshot is retained — keeps
+    reading the exact retained history; never a silent half-GC'd read."""
+    import pytest
+
+    from sfr_ingest_pipeline_spark.generator import generate_binlog
+    from sfr_ingest_pipeline_spark.oracle import load_binlog_pandas
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        SnapshotExpiredError,
+    )
+
+    binlog = str(tmp_path / "bl")
+    generate_binlog(binlog, seed=13, n_events=3000, n_segments=6,
+                    n_conversations=80)
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    for i, seg in enumerate(load_binlog_pandas(binlog)):
+        apply_batch(spark, root, spark.createDataFrame(seg), i,
+                    config=small_cfg)
+
+    doomed_reader = TranscriptTable.load(root, snapshot_id=2)
+    retained_reader = TranscriptTable.load(root)  # current snapshot
+    expected = retained_reader.scan(spark).count()
+
+    out = expire_snapshots(root, keep_last=2)
+    assert out["dropped_snapshots"] > 0 and out["dropped_data_files"] > 0
+
+    # expired snapshot: deterministic plan-time error on every read surface
+    with pytest.raises(SnapshotExpiredError, match="snapshot 2 .*expired"):
+        doomed_reader.scan(spark)
+    with pytest.raises(SnapshotExpiredError):
+        doomed_reader.read_conversation(spark, "conv-00000000")
+
+    # a reader loaded BEFORE the GC but holding a retained snapshot keeps
+    # reading the exact same rows (its files survived by reference)
+    assert retained_reader.scan(spark).count() == expected
