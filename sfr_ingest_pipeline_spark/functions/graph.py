@@ -25,7 +25,9 @@ different formulation — the hash match proves the fixpoint exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -74,8 +76,14 @@ def connected_components(
                 (F.col("nlbl") < F.col("lbl")).alias("_chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        # convergence check rides the checkpoint materialization as an
+        # Observation (CollectMetrics) — ONE job per round, not a second
+        # driver-blocking count() over the checkpointed labels
+        obs = Observation(f"cc_changed_{uuid.uuid4().hex[:6]}")
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("_chg").cast("long")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.drop("_chg")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias(component_col))
