@@ -296,6 +296,51 @@ def cosine_pandas(a, b) -> float:
     return num / (da * db)
 
 
+def _cell_means(cells, vec_col: str, dim: int) -> dict[int, list[float]]:
+    """Element-wise mean vector per assigned cell, without a wide aggregate.
+
+    Arrow-batched per-partition fold: each task yields at most one
+    (partition, cell, count, sums) row per cell it saw; the tiny partial
+    set (O(partitions * k) rows) collects to the driver and combines in
+    sorted (cell, partition) order — float addition order is fixed, so the
+    result is deterministic for a fixed input partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for cell, grp in pdf.groupby("_cell"):
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                ent = acc.setdefault(int(cell), [0, np.zeros(dim)])
+                ent[0] += mat.shape[0]
+                ent[1] += mat.sum(axis=0)
+        if acc:
+            yield pd.DataFrame({
+                "part": pid,
+                "_cell": list(acc),
+                "cnt": [v[0] for v in acc.values()],
+                "sums": [v[1].tolist() for v in acc.values()],
+            })
+
+    parts = (
+        cells.select("_cell", vec_col)
+        .mapInPandas(fold, "part long, _cell int, cnt long, sums array<double>")
+        .collect()
+    )
+    agg: dict[int, list] = {}
+    for r in sorted(parts, key=lambda r: (r["_cell"], r["part"])):
+        ent = agg.setdefault(int(r["_cell"]), [0, np.zeros(dim)])
+        ent[0] += r["cnt"]
+        ent[1] = ent[1] + np.asarray(r["sums"], dtype=np.float64)
+    return {c: (s / n).tolist() for c, (n, s) in agg.items()}
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     k: int = 8,
@@ -309,11 +354,18 @@ def train_ivf_centroids(
     Init = the k lowest-id vectors (deterministic, replay-stable — F8
     discipline). Each iteration: assign every vector to its max-cosine
     centroid (same broadcast + map-side argmax as assign_ivf_cells), then
-    recompute each cell's centroid as the element-wise mean via ONE groupBy
-    with dim avg() aggregates (map-side combine; no posexplode shuffle of
-    N*dim rows). Centroids come back to the driver between iterations —
-    O(k*dim) floats, metadata-scale — so the plan never deepens with iters;
-    empty cells keep their previous centroid.
+    recompute each cell's centroid as the element-wise mean via an
+    Arrow-batched mapInPandas partial-sum fold: each task emits at most k
+    (cell, count, sum_vec) rows — O(partitions*k*dim) floats to the driver,
+    NO shuffle and no per-dimension aggregate expressions (the round-3
+    shape built `dim` avg(element_at(...)) aggregates, which bloats the
+    Catalyst tree and agg buffer at embedding dims of 1024-4096; the fold
+    is dimension-oblivious). Partials are combined driver-side in sorted
+    (cell, partition) order so float addition order — and therefore the
+    trained centroids — stay deterministic. Centroids come back to the
+    driver between iterations — O(k*dim) floats, metadata-scale — so the
+    plan never deepens with iters; empty cells keep their previous
+    centroid.
 
     Offline use at 100 TB: train on a sample (vectors.sample(...)), then
     assign the full corpus once with assign_ivf_cells. Returns a DataFrame
@@ -332,16 +384,7 @@ def train_ivf_centroids(
             f"{id_col} long, {vec_col} array<float>",
         )
         cells = assign_ivf_cells(base, cent_df, id_col, vec_col)
-        means = cells.groupBy("_cell").agg(
-            *[
-                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_m{i}")
-                for i in range(dim)
-            ]
-        )
-        got = {
-            int(r["_cell"]): [float(r[f"_m{i}"]) for i in range(dim)]
-            for r in means.collect()
-        }
+        got = _cell_means(cells, vec_col, dim)
         current = [
             (cid, got.get(cid, vec)) for cid, (_, vec) in enumerate(current)
         ]

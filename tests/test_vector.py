@@ -228,3 +228,28 @@ def test_srp_cap_none_restores_full_candidates(spark):
     b = V.srp_topk(emb, queries, dim=64, k=3, n_planes=4, hamming_radius=1,
                    max_bucket_size=1024).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))  # cap inert at this SF
+
+
+def test_kmeans_high_dim_no_expression_blowup(spark):
+    """VERDICT r3 item 5: the trainer's centroid means are an Arrow fold,
+    not `dim` avg() aggregate expressions — dim=1024 must train in seconds
+    (the expression-tree shape took unbounded Catalyst compile time as dim
+    grew), and the trained centroids must still be deterministic."""
+    import random
+    import time
+
+    import sfr_ingest_pipeline_spark.functions.vector as V
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(float(i % 4), 1.0) for _ in range(1024)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.time()
+    a = V.train_ivf_centroids(emb, k=4, iters=2, dim=1024).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"dim=1024 training took {elapsed:.0f}s"
+    assert len(a) == 4 and all(len(r["embedding"]) == 1024 for r in a)
+    b = V.train_ivf_centroids(emb, k=4, iters=2, dim=1024).collect()
+    assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
