@@ -116,6 +116,10 @@ def cmd_replay(args) -> int:
         "events_applied": sum(r.events_applied for r in results),
         "dedup_dropped": sum(r.dedup_dropped for r in results),
         "merge_conflicts": sum(r.merge_conflicts for r in results),
+        # conv_id-range file-pruning telemetry (files inside touched
+        # buckets the merge did NOT have to read; see operators/merge.py)
+        "files_read": sum(r.files_read for r in results),
+        "files_pruned": sum(r.files_pruned for r in results),
         "sec": round(wall, 2),
         "events_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
     }
