@@ -12,11 +12,19 @@ until a fixpoint (no label changed). Each iteration is ONE shuffle (join
 edges to labels + min-aggregate); convergence takes O(graph diameter)
 iterations, and near-dup clusters are shallow by construction (every
 member pairs with the canonical member through few hops). The loop
-localCheckpoints per iteration so the lineage stays flat. For adversarial
-long-chain graphs at 10^12 edges the classic fix is large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond") which
-halves chain length per round — the propagation loop here is the right
-shape for dedup graphs and keeps the plan to one join per round.
+localCheckpoints per iteration so the lineage stays flat.
+
+For adversarial long-diameter graphs, ``algorithm="alternating"`` runs
+the large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", 2014): each round rewires every
+node's strictly-larger neighbors (large-star) then its smaller-or-equal
+neighbors (small-star) to the minimum of its closed neighborhood,
+contracting path length geometrically — O(log^2 n) rounds on a chain
+where label propagation needs O(n). Convergence is detected by an
+edge-set fingerprint (count + sum of per-edge xxhash64) riding the
+round's checkpoint as an Observation, so each half-round is still one
+job. Default stays label propagation: dedup graphs are shallow, and the
+per-round constant is smaller.
 
 The DuckDB twin (queries.py ``part_name_clusters``) re-derives components
 with a recursive CTE (transitive closure → min reachable id), a completely
@@ -37,14 +45,25 @@ def connected_components(
     dst: str,
     max_iter: int = 25,
     component_col: str = "component",
+    algorithm: str = "label-propagation",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     the smallest node id reachable through the undirected pair graph.
+
+    ``algorithm``: "label-propagation" (default — O(diameter) rounds, the
+    right constant for shallow dedup graphs) or "alternating" (large-star /
+    small-star, O(log^2 n) rounds — for adversarial long-diameter graphs).
 
     Raises if the fixpoint is not reached within ``max_iter`` rounds (a
     dedup-pair graph that deep signals a pathological input, not a bigger
     loop budget).
     """
+    if algorithm == "alternating":
+        return _alternating_components(edges, src, dst, max_iter, component_col)
+    if algorithm != "label-propagation":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: label-propagation|alternating"
+        )
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -90,4 +109,117 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(pathologically deep pair graph)"
+    )
+
+
+def _fingerprinted_checkpoint(df: DataFrame, a: str = "a", b: str = "b"):
+    """Eagerly checkpoint an edge set and return (df, (count, hash_sum)) —
+    the convergence fingerprint rides the same materialization as an
+    Observation, so fixpoint detection costs no extra job. bit_xor of
+    per-edge xxhash64 is overflow-free under ANSI mode and
+    order-independent over the distinct edge set; a 64-bit collision
+    between consecutive DIFFERENT edge sets is ~2^-64-improbable, and the
+    final star extraction would still be a correct labelling of whatever
+    fixpoint the loop settled on."""
+    obs = Observation(f"cc_fp_{uuid.uuid4().hex[:6]}")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(a), F.col(b))).alias("h"),
+    ).localCheckpoint(eager=True)
+    m = obs.get
+    return out, (int(m["n"] or 0), int(m["h"] or 0))
+
+
+def _alternating_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    component_col: str,
+) -> DataFrame:
+    """Large-star/small-star (Kiveris et al. 2014, Algorithm 3).
+
+    Edge set is kept as unordered pairs; each round:
+
+      large-star(u): every STRICTLY LARGER neighbor of u rewires to
+                     m(u) = min(closed neighborhood of u);
+      small-star(u): u and every smaller-or-equal neighbor rewire to m(u)
+                     (computed over the <=-side neighborhood).
+
+    Both halves preserve connectivity and only ever decrease the potential
+    (sum of path lengths to minima), so the edge set reaches a star forest
+    — every edge (v, root) — in O(log^2 n) rounds; fingerprint equality of
+    two consecutive rounds detects it."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e, fp = _fingerprinted_checkpoint(e)
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        nbr = _sym(df)
+        m = nbr.groupBy("a").agg(F.min("b").alias("_mb"))
+        m = m.select("a", F.least(F.col("a"), F.col("_mb")).alias("_m"))
+        return (
+            nbr.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient each edge larger -> smaller, group on the larger end
+        oriented = df.select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        m = oriented.groupBy("a").agg(F.min("b").alias("_m"))
+        rewired = (
+            oriented.join(m, "a")
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        )
+        centers = m.select(F.col("a"), F.col("_m").alias("b"))
+        return (
+            rewired.unionByName(centers)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        e, _ = _fingerprinted_checkpoint(_large_star(e))
+        e, fp_new = _fingerprinted_checkpoint(_small_star(e))
+        if fp_new == fp:
+            break
+        fp = fp_new
+    else:
+        raise RuntimeError(
+            f"alternating connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+    # fixpoint is a star forest: every remaining edge is (member, root);
+    # nodes with no edge (isolated or themselves the root) label themselves
+    labels = e.select(
+        F.greatest(F.col("a"), F.col("b")).alias("node"),
+        F.least(F.col("a"), F.col("b")).alias("lbl"),
+    ).groupBy("node").agg(F.min("lbl").alias("lbl"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("lbl"), F.col("node")).alias(component_col),
+        )
     )

