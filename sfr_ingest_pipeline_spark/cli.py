@@ -31,6 +31,27 @@ def _add_spark_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shuffle-partitions", type=int, default=None)
 
 
+def _maintenance_guard(fn):
+    """Maintenance racing a live ingest can lose the CAS commit
+    (CommitConflictError) — for a scheduled job that's a retry-later
+    outcome, not a crash: print a structured error and exit 4."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(args):
+        from sfr_ingest_pipeline_spark.table.transcript_table import (
+            CommitConflictError,
+        )
+
+        try:
+            return fn(args)
+        except CommitConflictError as e:
+            print(json.dumps({"error": "commit_conflict", "detail": str(e),
+                              "retry": True}))
+            return 4
+    return wrapped
+
+
 def _parse_ts_us(raw: str) -> int:
     """Accepts microseconds-since-epoch or an ISO-8601 datetime (naive is
     read as UTC — the engine's session timezone)."""
@@ -171,6 +192,7 @@ def cmd_scan(args) -> int:
     return 0
 
 
+@_maintenance_guard
 def cmd_compact(args) -> int:
     from sfr_ingest_pipeline_spark.config import EngineConfig
     from sfr_ingest_pipeline_spark.table.maintenance import compact
@@ -192,6 +214,7 @@ def cmd_compact(args) -> int:
     return 0
 
 
+@_maintenance_guard
 def cmd_rebucket(args) -> int:
     from sfr_ingest_pipeline_spark.table.maintenance import rebucket
 
@@ -205,6 +228,7 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+@_maintenance_guard
 def cmd_rollback(args) -> int:
     from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
 
@@ -216,6 +240,7 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+@_maintenance_guard
 def cmd_recluster(args) -> int:
     from sfr_ingest_pipeline_spark.table.maintenance import recluster
 
