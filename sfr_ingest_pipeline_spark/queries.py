@@ -1545,6 +1545,28 @@ def q_part_name_clusters(spark, sf_dir):
     )
 
 
+def q_part_name_clusters_bigstar(spark, sf_dir):
+    """Same dedup clustering through the OTHER iterative algorithm:
+    large-star/small-star (functions/graph.py algorithm="alternating",
+    Kiveris et al. 2014 — the O(log^2 n)-round shape for
+    adversarial-diameter graphs). Components are algorithm-independent, so
+    this shares part_name_clusters' RECURSIVE-CTE oracle; a hash match
+    here proves the alternating fixpoint exact on a real pair graph, not
+    just on synthetic pytest graphs."""
+    from sfr_ingest_pipeline_spark.functions.graph import connected_components
+    from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(
+        part, id_col="p_partkey", col="p_name", max_dist=2, block_on="p_brand"
+    )
+    comp = connected_components(pairs, "id_a", "id_b", algorithm="alternating")
+    return comp.select(
+        F.col("node").alias("p_partkey"),
+        F.col("component").alias("cluster"),
+    )
+
+
 QUERIES["part_name_clusters"] = q_part_name_clusters
 ORACLE_SQL.update({
     # recursive transitive closure over the SAME fuzzy pair graph: a node's
@@ -1569,6 +1591,10 @@ ORACLE_SQL.update({
         FROM reach GROUP BY a
     """,
 })
+QUERIES["part_name_clusters_bigstar"] = q_part_name_clusters_bigstar
+# components are algorithm-independent: the alternating variant must match
+# the SAME recursive-CTE closure, row for row
+ORACLE_SQL["part_name_clusters_bigstar"] = ORACLE_SQL["part_name_clusters"]
 
 
 def q_stratified_sample_docs(spark, sf_dir):
