@@ -651,6 +651,26 @@ def q_minhash_lsh_dedup_pairs(spark, sf_dir):
     )
 
 
+def q_near_dedup_kept_docs(spark, sf_dir):
+    """THE composed training-data dedup pipeline, end to end in one query:
+    MinHash+LSH candidate pairs -> exact n-gram-Jaccard verify (>= 0.5,
+    q_minhash_lsh_dedup_pairs) -> connected-components clustering
+    (functions/graph.py) -> keep one canonical doc (min doc_id) per
+    near-dup cluster -> anti-join the corpus. Returns the KEPT doc_ids —
+    what a corpus-construction job materializes. The oracle recomputes the
+    whole chain in SQL: the full LSH+verify twin wrapped in a RECURSIVE
+    transitive closure, then NOT IN the dropped set."""
+    from sfr_ingest_pipeline_spark.functions.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_dedup_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
 def q_simhash_near_dup_pairs(spark, sf_dir):
     """SimHash near-dup pairs at hamming <= 3 over a 64-bit simhash (two
     independent md5-word halves) via 4x16-bit pigeonhole banding with
@@ -709,6 +729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "ivf_ann_topk": q_ivf_ann_topk,
     "minhash_lsh_dedup_pairs": q_minhash_lsh_dedup_pairs,
+    "near_dedup_kept_docs": q_near_dedup_kept_docs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "bpe_token_stats": q_bpe_token_stats,
     "purchase_view_attribution": q_purchase_view_attribution,
@@ -1655,3 +1676,28 @@ ORACLE_SQL.update({
                                ELSE 2500 END
     """,
 })
+
+
+# Composed dedup pipeline oracle: the full LSH+verify twin becomes a
+# derived table, a RECURSIVE CTE re-derives clusters, and the kept set is
+# the corpus minus non-canonical cluster members — every stage recomputed
+# independently of the engine.
+ORACLE_SQL["near_dedup_kept_docs"] = f"""
+    WITH RECURSIVE verified AS (
+        SELECT id_a, id_b FROM ({ORACLE_SQL["minhash_lsh_dedup_pairs"]}) v
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ), dropped AS (
+        SELECT node FROM comp WHERE node != cluster
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
