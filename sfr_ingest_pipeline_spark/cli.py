@@ -262,12 +262,14 @@ def cmd_expire(args) -> int:
 
 
 def cmd_verify(args) -> int:
+    from sfr_ingest_pipeline_spark.schema import CHANGE_EVENT_SCHEMA_V2
     from sfr_ingest_pipeline_spark.table.maintenance import verify_against_binlog
 
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     report = verify_against_binlog(
-        spark, args.table, args.binlog, column_merge=args.column_merge
+        spark, args.table, args.binlog, column_merge=args.column_merge,
+        event_schema=CHANGE_EVENT_SCHEMA_V2 if args.v2_schema else None,
     )
     print(json.dumps(report))
     if report["ok"]:
@@ -456,6 +458,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--binlog", required=True, action="append")
     v.add_argument("--column-merge", choices=["row", "coalesce"], default="row")
+    v.add_argument("--v2-schema", action="store_true",
+                   help="read the binlog with the evolved (v2, +tool_meta) "
+                        "event schema so post-evolution columns verify too")
     _add_spark_args(v)
     v.set_defaults(fn=cmd_verify)
 

@@ -271,6 +271,7 @@ def fast_binlog(
     conv_offset: int = 0,
     seq_offset: int = 0,
     ts_offset_us: int = 0,
+    v2: bool = False,
 ) -> int:
     """Seeded, fully numpy-vectorized binlog writer (~10M events/s/core).
 
@@ -350,21 +351,34 @@ def fast_binlog(
             idx = np.concatenate([idx, dup_idx])
             rng.shuffle(idx)
 
-        table = pa.table(
-            {
-                "op": pa.array(op[idx], pa.string()),
-                "conv_id": pa.array(
-                    [f"conv-{conv_offset + c:010d}" for c in conv[idx]],
-                    pa.string(),
+        cols = {
+            "op": pa.array(op[idx], pa.string()),
+            "conv_id": pa.array(
+                [f"conv-{conv_offset + c:010d}" for c in conv[idx]],
+                pa.string(),
+            ),
+            "turn_idx": pa.array(turn[idx], pa.int32()),
+            "role": pa.array(roles[idx], pa.string()),
+            "text": pa.array(texts[idx], pa.string()),
+            "tool": pa.array(tools[idx], pa.string()),
+            "ts": pa.array(ts[idx], pa.int64()).cast(pa.timestamp("us")),
+            "event_seq": pa.array(seq[idx], pa.int64()),
+        }
+        if v2:
+            # evolved producer: tool rows carry a JSON tool_meta payload
+            # (FIXTURES.md §A3 shape) — the ALTER-on-write column
+            metas = np.where(
+                tools[idx] == None,  # noqa: E711 - numpy elementwise
+                None,
+                np.array(
+                    [f'{{"call_id": {int(s)}}}' for s in seq[idx]],
+                    dtype=object,
                 ),
-                "turn_idx": pa.array(turn[idx], pa.int32()),
-                "role": pa.array(roles[idx], pa.string()),
-                "text": pa.array(texts[idx], pa.string()),
-                "tool": pa.array(tools[idx], pa.string()),
-                "ts": pa.array(ts[idx], pa.int64()).cast(pa.timestamp("us")),
-                "event_seq": pa.array(seq[idx], pa.int64()),
-            },
-            schema=ARROW_EVENT_SCHEMA,
+            )
+            cols["tool_meta"] = pa.array(metas, pa.string())
+        table = pa.table(
+            cols,
+            schema=ARROW_EVENT_SCHEMA_V2 if v2 else ARROW_EVENT_SCHEMA,
         )
         # small row groups keep files splittable: Spark's scan parallelism is
         # capped at one task per row group, so benchmark inputs must not be

