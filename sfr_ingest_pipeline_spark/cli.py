@@ -288,7 +288,8 @@ def cmd_changes(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t = TranscriptTable.load(args.table)
     to_id = args.to_snapshot if args.to_snapshot is not None else t.snapshot.snapshot_id
-    df = t.changes_between(spark, args.from_snapshot, to_id)
+    df = t.changes_between(spark, args.from_snapshot, to_id,
+                           pre_post=args.pre_post)
     if args.limit:
         df = df.limit(args.limit)
     counts: dict = {}
@@ -331,6 +332,23 @@ def cmd_query(args) -> int:
         n += 1
     print(json.dumps({"query": args.name, "rows": n,
                       "sec": round(time.time() - t0, 2)}), file=sys.stderr)
+    return 0
+
+
+def cmd_view_refresh(args) -> int:
+    """Advance the incrementally-maintained rollup view to the table's
+    current snapshot; prints the refresh counters as one JSON line."""
+    from sfr_ingest_pipeline_spark.streaming.incremental import IncrementalAggView
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    view = IncrementalAggView(args.view, args.table)
+    result = view.refresh(spark)
+    if args.compact:
+        result["compacted_rows"] = view.compact(spark)
+    result["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(result))
     return 0
 
 
@@ -443,8 +461,23 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--from-snapshot", type=int, required=True)
     ch.add_argument("--to-snapshot", type=int, default=None)
     ch.add_argument("--limit", type=int, default=0)
+    ch.add_argument("--pre-post", action="store_true",
+                    help="Delta-CDF shape: updates fan out to "
+                         "update_preimage + update_postimage rows")
     _add_spark_args(ch)
     ch.set_defaults(fn=cmd_changes)
+
+    vw = sub.add_parser(
+        "view-refresh",
+        help="incrementally maintain the per-conversation rollup view "
+             "from the table changelog (O(changes) per refresh)",
+    )
+    vw.add_argument("--table", required=True)
+    vw.add_argument("--view", required=True, help="view directory (created on first run)")
+    vw.add_argument("--compact", action="store_true",
+                    help="also rewrite the view to one row per group")
+    _add_spark_args(vw)
+    vw.set_defaults(fn=cmd_view_refresh)
 
     q = sub.add_parser("query", help="run a named analytic query (JSON lines)")
     q.add_argument("name", nargs="?", help="query name (see --list)")

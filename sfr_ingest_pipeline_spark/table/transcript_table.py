@@ -625,11 +625,19 @@ class TranscriptTable:
         spark: SparkSession,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        pre_post: bool = False,
     ) -> DataFrame:
         """Incremental changelog scan (Iceberg-CDC analog): the NET per-key
         changes between two committed snapshots, as rows tagged
         ``_change_type`` in {insert, update, delete} — what a downstream
         consumer tails instead of re-reading the table.
+
+        With ``pre_post=True`` each update fans out to TWO rows —
+        ``update_preimage`` (old payload) and ``update_postimage`` (new
+        payload) — the Delta-CDF / Flink-retract shape. Every change row is
+        then a signed tuple (+row for insert/postimage, −row for
+        delete/preimage), which makes distributive aggregates over the table
+        maintainable purely from the changelog (``streaming/incremental.py``).
 
         Incremental by construction: every key that changed appears in a
         data file ADDED between the snapshots (MoR deltas carry exactly the
@@ -703,6 +711,27 @@ class TranscriptTable:
             .when(F.col("_new").isNull() & F.col("_old").isNotNull(), "delete")
             .when(~F.col("_new").eqNullSafe(F.col("_old")), "update"),
         ).filter(change_col.isNotNull())
+        if pre_post:
+            tagged = lambda tag, img: F.struct(  # noqa: E731
+                F.lit(tag).alias("t"), F.col(img).alias("p")
+            )
+            fanout = (
+                F.when(change_col == "insert", F.array(tagged("insert", "_new")))
+                .when(change_col == "delete", F.array(tagged("delete", "_old")))
+                .otherwise(
+                    F.array(
+                        tagged("update_preimage", "_old"),
+                        tagged("update_postimage", "_new"),
+                    )
+                )
+            )
+            return typed.select(
+                *key_cols, F.explode(fanout).alias("_e")
+            ).select(
+                *key_cols,
+                *[F.col("_e.p").getField(c).alias(c) for c in payload],
+                F.col("_e.t").alias("_change_type"),
+            )
         carrier = F.when(change_col == "delete", F.col("_old")).otherwise(
             F.col("_new")
         )
