@@ -335,6 +335,25 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Metadata tables (Iceberg snapshots/files/partitions parity) as JSON
+    lines — zero data I/O, manifests + snapshot log only."""
+    from sfr_ingest_pipeline_spark.table import inspect as tinspect
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    table = TranscriptTable.load(args.table)
+    df = {
+        "snapshots": tinspect.snapshots_df,
+        "files": tinspect.files_df,
+        "partitions": tinspect.partitions_df,
+    }[args.what](spark, table)
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def cmd_view_refresh(args) -> int:
     """Advance the incrementally-maintained rollup view to the table's
     current snapshot; prints the refresh counters as one JSON line."""
@@ -466,6 +485,13 @@ def main(argv: list[str] | None = None) -> int:
                          "update_preimage + update_postimage rows")
     _add_spark_args(ch)
     ch.set_defaults(fn=cmd_changes)
+
+    ins = sub.add_parser("inspect",
+                         help="metadata tables: snapshots/files/partitions")
+    ins.add_argument("what", choices=["snapshots", "files", "partitions"])
+    ins.add_argument("--table", required=True)
+    _add_spark_args(ins)
+    ins.set_defaults(fn=cmd_inspect)
 
     vw = sub.add_parser(
         "view-refresh",
