@@ -161,17 +161,22 @@ class IncrementalAggView:
             .when(added_dominates, F.col("max_added_ts")),
         )
         resolved = resolved.localCheckpoint(eager=True)
-        bad = resolved.filter(F.col("n_turns") < 0).count()
-        if bad:
+        # one job over the checkpointed frame answers both control-flow
+        # questions (corruption guard + recompute-fallback size)
+        stats = resolved.agg(
+            F.sum((F.col("n_turns") < 0).cast("long")).alias("bad"),
+            F.sum(((F.col("n_turns") > 0) & F.col("last_ts").isNull()).cast("long")).alias("need"),
+        ).first()
+        if stats["bad"]:
             raise RuntimeError(
-                f"incremental refresh produced {bad} negative group counts — "
-                "cursor/changelog mismatch (was the view refreshed against a "
-                "rolled-back snapshot range?)"
+                f"incremental refresh produced {stats['bad']} negative group "
+                "counts — cursor/changelog mismatch (was the view refreshed "
+                "against a rolled-back snapshot range?)"
             )
         need = resolved.filter(
             (F.col("n_turns") > 0) & F.col("last_ts").isNull()
         ).select("conv_id")
-        n_recompute = need.count()
+        n_recompute = int(stats["need"] or 0)
         if n_recompute:
             recomputed = self._recompute_groups(spark, table, need, n_recompute)
             resolved = (

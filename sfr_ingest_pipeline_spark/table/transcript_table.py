@@ -93,8 +93,13 @@ def resolve_stored_versions(df: DataFrame, key_cols, order_cols) -> DataFrame:
     winner by (order_cols..., commit recency). The commit tie-break makes
     this exact for coalesce-mode tables too (see :func:`commit_seq_col`);
     each stored version is a complete folded state, so the newest version
-    IS the current row."""
-    df = df.withColumn("_cseq", commit_seq_col())
+    IS the current row.
+
+    A caller that joins the scan before resolving must stamp ``_cseq``
+    FIRST (``input_file_name()`` is illegal above a multi-source join);
+    a precomputed ``_cseq`` column is honored as-is."""
+    if "_cseq" not in df.columns:
+        df = df.withColumn("_cseq", commit_seq_col())
     payload = [c for c in df.columns if c not in set(key_cols) | {"_cseq"}]
     winner = F.max_by(
         F.struct(*[F.col(c) for c in payload]),
@@ -639,15 +644,26 @@ class TranscriptTable:
         delete/preimage), which makes distributive aggregates over the table
         maintainable purely from the changelog (``streaming/incremental.py``).
 
-        Incremental by construction: every key that changed appears in a
-        data file ADDED between the snapshots (MoR deltas carry exactly the
-        batch winners; CoW rewrites contain their bucket's keys), so the
-        scan reads only added files for candidates, then resolves old/new
-        state restricted to the touched buckets and candidate keys —
-        O(changed buckets), never O(table). CoW rewrites carry forward
-        unchanged keys; the old-vs-new null-safe payload compare drops them,
-        so output is exact either way. Additive schema evolution between the
-        snapshots null-fills the old side to the new logical schema.
+        Incremental by construction: every key that changed was written by
+        an INGEST commit in the range, so candidate keys come from the
+        union of each ingest step's own added files (MoR deltas carry
+        exactly the batch winners; CoW rewrites contain their bucket's
+        keys) — maintenance rewrites (compact/recluster/rebucket) move
+        bytes without changing logical state and contribute NO candidates,
+        so a compaction landing mid-range no longer inflates the scan to
+        every key it rewrote. Old/new state then resolves restricted to
+        the candidate files' buckets + conv_id-range envelope and
+        semi-joined to candidate keys — O(changed data), never O(table).
+        When the chain cannot prove that shortcut (a rollback in range —
+        logical change with no added files — or a bucket-layout change
+        mid-range), candidates fall back to the files present in exactly
+        ONE of the two snapshots: a key whose resolved state differs must
+        have a version row in such a file on at least one side, so the
+        fallback is exact too (and catches MoR rollbacks the added-only
+        rule would miss). CoW rewrites carry forward unchanged keys; the
+        old-vs-new null-safe payload compare drops them. Additive schema
+        evolution between the snapshots null-fills the old side to the new
+        logical schema.
         """
         new_t = (
             self if to_snapshot_id is None
@@ -658,8 +674,7 @@ class TranscriptTable:
         logical = new_t.schema
         payload = [f.name for f in logical.fields if f.name not in key_cols]
 
-        old_paths = {f.path for f in old_t.files}
-        added = [f for f in new_t.files if f.path not in old_paths]
+        added = changelog_candidate_files(self.root, old_t, new_t)
         change_col = F.col("_change_type")
         empty = T.StructType(
             [f for f in logical.fields]
@@ -675,16 +690,26 @@ class TranscriptTable:
             .select(*key_cols)
             .distinct()
         )
-        buckets = {f.bucket for f in added}
-
         def _aligned_state(t: "TranscriptTable") -> DataFrame:
-            # bucket ids are layout-dependent: across a rebucket the 'to'
-            # snapshot's candidate bucket set means nothing under the old
-            # layout (a shrink would silently skip old buckets >= new_n and
-            # misreport their keys as inserts) — scan that side unpruned;
-            # the left-semi join on candidate keys still bounds the output
-            prune = buckets if t.n_buckets == new_t.n_buckets else None
-            df = t.scan(spark, buckets=prune)
+            # candidate semi-join BEFORE version resolution: per-key LWW only
+            # needs that key's own rows, so restricting to candidate keys
+            # first is exact and cuts the resolve aggregation from every key
+            # in the read files to O(candidate rows) — measured 4x on a
+            # localized wave into a hot Zipf band (BENCH/SCALE.md); AQE
+            # turns the semi join into a broadcast when candidates are small
+            files = changelog_state_files(t, added, new_t)
+            df = t.scan(spark, files=files, with_meta=True)
+            need_resolve = any(f.kind == "delta" for f in files)
+            if need_resolve:
+                # _cseq comes from input_file_name(), which is illegal above
+                # a multi-source join — stamp it before the semi join
+                df = df.withColumn("_cseq", commit_seq_col())
+            df = df.join(cand, key_cols, "left_semi")
+            if need_resolve:
+                df = resolve_stored_versions(
+                    df, list(t.snapshot.key_cols), t.snapshot.order_cols
+                )
+            df = df.filter(~F.col("_deleted")).drop(*META_COLS)
             have = set(df.columns)
             return df.select(
                 *[
@@ -692,7 +717,7 @@ class TranscriptTable:
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in logical.fields
                 ]
-            ).join(cand, key_cols, "left_semi")
+            )
         new_state = _aligned_state(new_t)
         old_state = _aligned_state(old_t)
 
@@ -1017,3 +1042,111 @@ class TranscriptTable:
                     )
                 )
         return out
+
+
+def changelog_state_files(
+    t: "TranscriptTable",
+    added: list[DataFileInfo],
+    new_t: "TranscriptTable",
+) -> list[DataFileInfo]:
+    """State files a changelog scan must read on snapshot ``t`` to resolve
+    the keys contained in the ``added`` files of ``new_t``.
+
+    Two metadata-only pruning layers (the read-side twin of the MERGE's
+    write-side pruning):
+
+    * bucket pruning — only buckets the added files touch can hold changed
+      keys (skipped across a rebucket: old-layout bucket ids are
+      incomparable, the candidate-key semi join still bounds the output);
+    * conv_id-range envelope — every changed key lies inside
+      [min, max] of the added files' manifest stats, so a state file whose
+      own range cannot overlap the envelope is provably candidate-free.
+      After a conv-localized wave into a reclustered table this turns the
+      state resolve from O(touched buckets) into O(touched files). Files
+      or envelopes without stats stay conservative (kept / no pruning).
+
+    Exactness under merge-on-read: a pruned file cannot contain any
+    candidate key, so per-key LWW resolution over the remaining files is
+    unchanged for every candidate; non-candidate keys are discarded by the
+    semi join regardless of how partially they resolved.
+    """
+    buckets = {f.bucket for f in added}
+    prune = buckets if t.n_buckets == new_t.n_buckets else None
+    files = t.files_in_buckets(prune)
+    if all(f.conv_id_min is not None and f.conv_id_max is not None
+           for f in added):
+        lo = min(f.conv_id_min for f in added)
+        hi = max(f.conv_id_max for f in added)
+        files = [
+            f for f in files
+            if (f.conv_id_max is None or f.conv_id_max >= lo)
+            and (f.conv_id_min is None or f.conv_id_min <= hi)
+        ]
+    return files
+
+
+def changelog_candidate_files(
+    root: str,
+    old_t: "TranscriptTable",
+    new_t: "TranscriptTable",
+) -> list[DataFileInfo]:
+    """Files whose rows bound the keys that can have changed between two
+    snapshots (the candidate sources of :meth:`TranscriptTable.changes_between`).
+
+    Fast path — walk the commit chain (from, to] and union each INGEST
+    step's own added files: every logical change was applied by exactly one
+    ingest commit and lives in that commit's new files, while maintenance
+    rewrites (compact/recluster/rebucket) move bytes without changing
+    logical state and are skipped. Files absorbed by a later compaction are
+    still readable: their writing snapshot is retained history, and
+    ``expire_snapshots`` only GCs files no retained snapshot references.
+
+    Exact fallback — when the chain contains a rollback (logical change
+    with NO added files: it re-references older files, so the added-only
+    rule under merge-on-read would silently miss un-done delta versions),
+    a bucket-layout change (mid-chain file bucket ids are incomparable, so
+    pruning metadata derived from them would be wrong), or a gap the
+    snapshot log cannot bridge: the files present in exactly ONE of the two
+    snapshots. A key whose resolved state differs must have a version row
+    in such a file on at least one side — if every version row of a key
+    sat in shared files, both sides would resolve identical row sets.
+    """
+    chain: list[TranscriptTable] = []
+    sid = new_t.snapshot.snapshot_id
+    fast = True
+    while sid != old_t.snapshot.snapshot_id:
+        try:
+            t = TranscriptTable.load(root, sid)
+        except Exception:
+            fast = False
+            break
+        chain.append(t)
+        op = (t.snapshot.properties.get("maintenance") or {}).get("op")
+        if op == "rollback" or t.n_buckets != new_t.n_buckets:
+            fast = False
+            break
+        parent = t.snapshot.parent_id
+        if parent is None or parent < old_t.snapshot.snapshot_id:
+            fast = False
+            break
+        sid = parent
+    if fast:
+        out: list[DataFileInfo] = []
+        seen: set[str] = set()
+        # chain is child->parent ordered, so each element's parent is the
+        # next element (old_t closes the chain) — no snapshot loads twice
+        parents = chain[1:] + [old_t]
+        for t, parent in zip(chain, parents):
+            if t.snapshot.properties.get("maintenance"):
+                continue
+            parent_files = {f.path for f in parent.files}
+            for f in t.files:
+                if f.path not in parent_files and f.path not in seen:
+                    seen.add(f.path)
+                    out.append(f)
+        return out
+    old_paths = {f.path for f in old_t.files}
+    new_paths = {f.path for f in new_t.files}
+    return [f for f in new_t.files if f.path not in old_paths] + [
+        f for f in old_t.files if f.path not in new_paths
+    ]

@@ -334,6 +334,149 @@ def test_changes_between_reads_only_touched_buckets(spark, tmp_path, small_cfg):
             p, sorted(f.path for f in t.files_in_buckets(touched)))
 
 
+def test_changelog_range_envelope_prunes_state_files(spark, tmp_path, small_cfg):
+    """Within touched buckets, state files whose conv_id range cannot overlap
+    the added files' envelope are pruned from the changelog scan — and the
+    diff stays exact."""
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.table.maintenance import recluster
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        changelog_state_files,
+    )
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    cfg = dc_replace(small_cfg, merge_mode="mor", n_buckets=2)
+    root = str(tmp_path / "env")
+    TranscriptTable.create(root, n_buckets=2)
+    wide = pd.DataFrame(
+        [ev("I", f"conv-{i:04d}", 0, f"t{i}", i) for i in range(400)]
+    )
+    r0 = apply_batch(spark, root, spark.createDataFrame(wide), 0, config=cfg)
+    # range-split so each bucket's base files carry disjoint conv ranges
+    recluster(spark, root, config=cfg, files_per_bucket=4)
+    base_sid = TranscriptTable.load(root).snapshot.snapshot_id
+    # localized wave: two adjacent conv ids -> tight envelope
+    loc = pd.DataFrame([ev("U", "conv-0006", 0, "changed", 10_000),
+                        ev("D", "conv-0007", 0, "", 10_001)])
+    r1 = apply_batch(spark, root, spark.createDataFrame(loc), 1, config=cfg)
+
+    t = TranscriptTable.load(root)
+    t_old = TranscriptTable.load(root, base_sid)
+    old_paths = {f.path for f in t_old.files}
+    added = [f for f in t.files if f.path not in old_paths]
+    assert added, "wave must add files"
+    touched = {f.bucket for f in added}
+    total = len(t_old.files_in_buckets(touched))
+    kept = changelog_state_files(t_old, added, t)
+    assert len(kept) < total, (len(kept), total)
+    # pruning must not change the diff
+    chg = t.changes_between(spark, base_sid, r1.snapshot_id)
+    got = {(r.conv_id, r._change_type, r.text) for r in chg.collect()}
+    assert got == {("conv-0006", "update", "changed"),
+                   ("conv-0007", "delete", "t7")}
+    # and the physical reads stay inside the pruned file set
+    kept_paths = {f.path for f in kept} | {f.path for f in added} | {
+        f.path for f in changelog_state_files(t, added, t)
+    }
+    for p in set(chg.inputFiles()):
+        assert any(p.endswith(k) for k in kept_paths), p
+
+
+def test_changelog_skips_maintenance_rewrites_for_candidates(
+    spark, tmp_path, small_cfg
+):
+    """A compaction landing mid-range must not inflate the changelog's
+    candidate set to every key it rewrote: candidates come from ingest-step
+    files only, and the diff stays exact across the compaction."""
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.table.maintenance import compact
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        changelog_candidate_files,
+    )
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    root = str(tmp_path / "cmp")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    wide = pd.DataFrame(
+        [ev("I", f"conv-{i:04d}", 0, f"t{i}", i) for i in range(200)]
+    )
+    r0 = apply_batch(spark, root, spark.createDataFrame(wide), 0, config=cfg)
+    one = pd.DataFrame([ev("U", "conv-0007", 0, "changed", 10_000)])
+    r1 = apply_batch(spark, root, spark.createDataFrame(one), 1, config=cfg)
+    compact(spark, root)
+    t = TranscriptTable.load(root)
+    to_id = t.snapshot.snapshot_id
+    assert to_id > r1.snapshot_id, "compaction must have committed"
+
+    cand = changelog_candidate_files(
+        root, TranscriptTable.load(root, r0.snapshot_id), t
+    )
+    # only batch 1's delta file(s) qualify — NOT the compaction rewrites
+    assert cand and all(f.kind == "delta" for f in cand), cand
+    assert sum(f.rows for f in cand) <= 2
+
+    chg = t.changes_between(spark, r0.snapshot_id, to_id)
+    assert {(r.conv_id, r._change_type, r.text) for r in chg.collect()} == {
+        ("conv-0007", "update", "changed")
+    }
+
+
+def test_changelog_exact_across_rollback_in_range(spark, tmp_path, small_cfg):
+    """A rollback commits logical change while ADDING no files (it
+    re-references older ones) — the changelog's fallback candidate rule
+    (files unique to one side) must surface the un-done versions that the
+    added-only rule would miss under merge-on-read."""
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    root = str(tmp_path / "rbk")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    b0 = pd.DataFrame([ev("I", "c1", 0, "a", 1), ev("I", "c2", 0, "x", 2)])
+    r0 = apply_batch(spark, root, spark.createDataFrame(b0), 0, config=cfg)
+    b1 = pd.DataFrame([ev("U", "c1", 0, "b", 10)])
+    r1 = apply_batch(spark, root, spark.createDataFrame(b1), 1, config=cfg)
+    t = TranscriptTable.load(root)
+    t.rollback(r0.snapshot_id)
+    t = TranscriptTable.load(root)
+
+    # post-b1 -> post-rollback: c1 reverts b -> a; c2 untouched
+    chg = t.changes_between(spark, r1.snapshot_id, t.snapshot.snapshot_id)
+    got = {(r.conv_id, r._change_type, r.text) for r in chg.collect()}
+    assert got == {("c1", "update", "a")}, got
+
+
 def test_rollback_restores_state_and_reopens_batches(spark, tmp_path, small_cfg):
     import pandas as pd
 
