@@ -477,6 +477,82 @@ def test_changelog_exact_across_rollback_in_range(spark, tmp_path, small_cfg):
     assert got == {("c1", "update", "a")}, got
 
 
+def test_changelog_exact_for_all_pairs_under_random_maintenance(
+    spark, tmp_path, small_cfg
+):
+    """Seeded randomized gauntlet for the chain-walk candidate logic: a
+    random interleaving of ingest / compact / recluster commits, then
+    changes_between for EVERY snapshot pair must equal the brute-force diff
+    of the two scans."""
+    import random
+
+    import pandas as pd
+    from dataclasses import replace as dc_replace
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.table.maintenance import compact, recluster
+
+    def ev(op, conv, turn, text, seq):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": turn, "role": "user",
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        }
+
+    rng = random.Random(42)
+    cfg = dc_replace(small_cfg, merge_mode="mor", n_buckets=4)
+    root = str(tmp_path / "gauntlet")
+    TranscriptTable.create(root, n_buckets=4)
+    seq = 0
+    batch = 0
+    snapshot_ids = [TranscriptTable.load(root).snapshot.snapshot_id]
+    for _ in range(10):
+        action = rng.choice(["ingest", "ingest", "ingest", "compact", "recluster"])
+        if action == "ingest":
+            rows = []
+            for _ in range(rng.randint(1, 8)):
+                seq += 1
+                op = rng.choice(["I", "U", "U", "D"])
+                rows.append(ev(op, f"c{rng.randint(0, 9)}", rng.randint(0, 2),
+                               "" if op == "D" else f"t{seq}", seq))
+            apply_batch(spark, root, spark.createDataFrame(pd.DataFrame(rows)),
+                        batch, config=cfg)
+            batch += 1
+        elif action == "compact":
+            compact(spark, root, config=cfg)
+        else:
+            recluster(spark, root, config=cfg, files_per_bucket=2)
+        snapshot_ids.append(TranscriptTable.load(root).snapshot.snapshot_id)
+
+    t = TranscriptTable.load(root)
+
+    def state_at(sid):
+        df = TranscriptTable.load(root, sid).scan(spark).toPandas()
+        return {
+            (r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.ts)
+            for r in df.itertuples()
+        }
+
+    states = {sid: state_at(sid) for sid in snapshot_ids}
+    for i, a in enumerate(snapshot_ids):
+        for b in snapshot_ids[i + 1:]:
+            old, new = states[a], states[b]
+            expect = {}
+            for k in new.keys() - old.keys():
+                expect[k] = ("insert", new[k][1])
+            for k in old.keys() - new.keys():
+                expect[k] = ("delete", old[k][1])
+            for k in new.keys() & old.keys():
+                if new[k] != old[k]:
+                    expect[k] = ("update", new[k][1])
+            got = {
+                (r.conv_id, r.turn_idx): (r._change_type, r.text)
+                for r in t.changes_between(spark, a, b).collect()
+            }
+            assert got == expect, (a, b)
+
+
 def test_rollback_restores_state_and_reopens_batches(spark, tmp_path, small_cfg):
     import pandas as pd
 
