@@ -174,7 +174,12 @@ def cmd_scan(args) -> int:
 
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
-    table = TranscriptTable.load(args.table)
+    if args.tag is not None:
+        from sfr_ingest_pipeline_spark.table.transcript_table import load_tag
+
+        table = load_tag(args.table, args.tag)
+    else:
+        table = TranscriptTable.load(args.table)
     if args.as_of_batch is not None:
         table = table.load_snapshot_as_of_batch(args.as_of_batch)
     if args.as_of_ts is not None:
@@ -335,6 +340,35 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Create / delete / list named immutable snapshot tags (no Spark
+    session needed — pure metadata)."""
+    from sfr_ingest_pipeline_spark.table import transcript_table as tt
+
+    if args.create:
+        try:
+            sid = tt.create_tag(args.table, args.create, args.snapshot)
+        except FileExistsError:
+            print(json.dumps({"error": f"tag {args.create!r} already exists "
+                              "(tags are immutable; delete it first)"}),
+                  file=sys.stderr)
+            return 2
+        print(json.dumps({"tag": args.create, "snapshot_id": sid}))
+        return 0
+    if args.delete:
+        try:
+            tt.delete_tag(args.table, args.delete)
+        except KeyError:
+            print(json.dumps({"error": f"no such tag: {args.delete}"}),
+                  file=sys.stderr)
+            return 2
+        print(json.dumps({"deleted": args.delete}))
+        return 0
+    for name, meta in tt.list_tags(args.table).items():
+        print(json.dumps({"tag": name, **meta}))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Metadata tables (Iceberg snapshots/files/partitions parity) as JSON
     lines — zero data I/O, manifests + snapshot log only."""
@@ -436,9 +470,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="time travel to the newest snapshot committed at or "
                         "before this wall-clock time (microseconds since "
                         "epoch, or an ISO-8601 datetime)")
+    s.add_argument("--tag", default=None,
+                   help="read the snapshot pinned by this named tag")
     s.add_argument("--with-meta", action="store_true")
     _add_spark_args(s)
     s.set_defaults(fn=cmd_scan)
+
+    tg = sub.add_parser("tag", help="named immutable snapshot refs")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--create", metavar="NAME")
+    tg.add_argument("--snapshot", type=int, default=None,
+                    help="snapshot to pin (default: current)")
+    tg.add_argument("--delete", metavar="NAME")
+    tg.add_argument("--list", action="store_true")
+    tg.set_defaults(fn=cmd_tag)
 
 
     c = sub.add_parser("compact", help="compact delta files into base files")

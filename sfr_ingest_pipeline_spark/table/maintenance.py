@@ -90,9 +90,16 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     ``SnapshotExpiredError`` at its next scan, never a silent read of a
     half-GC'd file set. Size ``keep_last`` above the longest reader's
     lifetime in commits (tests/test_maintenance.py pins both behaviors)."""
+    from sfr_ingest_pipeline_spark.table.transcript_table import list_tags
+
     table = TranscriptTable.load(table_root)
     current = table.snapshot.snapshot_id
     keep_ids = set(range(max(1, current - keep_last + 1), current + 1))
+    # tagged snapshots are pinned outside the keep_last window: a tag is a
+    # reproducibility promise ("this corpus build reads tag X"), so GC must
+    # never invalidate one — delete the tag first to release it
+    tagged = {int(v["snapshot_id"]) for v in list_tags(table_root).values()}
+    keep_ids |= tagged
 
     referenced: set[str] = set()
     referenced_manifests: set[str] = set()

@@ -1150,3 +1150,69 @@ def changelog_candidate_files(
     return [f for f in new_t.files if f.path not in old_paths] + [
         f for f in old_t.files if f.path not in new_paths
     ]
+
+
+# ----------------------------------------------------------------- tags
+# Named immutable refs (Iceberg tag analog): a tag pins one snapshot id
+# under a human name — the reproducibility primitive a training-data
+# pipeline needs ("corpus build 2026-08-17 reads tag q3-freeze"; re-running
+# against the tag re-reads byte-identical state). Each tag is its OWN file
+# under metadata/refs/, created with O_EXCL: creation is atomic and a tag
+# can never be silently repointed (delete + recreate is the explicit,
+# auditable way to move one). ``expire_snapshots`` retains every tagged
+# snapshot and its files regardless of ``keep_last``.
+
+_TAG_NAME_RE = r"^[A-Za-z0-9][A-Za-z0-9._-]{0,99}$"
+
+
+def _tag_path(root: str, name: str) -> str:
+    import re
+
+    if not re.match(_TAG_NAME_RE, name):
+        raise ValueError(
+            f"invalid tag name {name!r} (want {_TAG_NAME_RE})"
+        )
+    return os.path.join(root, "metadata", "refs", f"tag-{name}.json")
+
+
+def create_tag(root: str, name: str, snapshot_id: int | None = None) -> int:
+    """Pin ``snapshot_id`` (default: current) under ``name``. Raises
+    FileExistsError if the tag exists — tags are immutable by construction."""
+    t = TranscriptTable.load(root, snapshot_id)
+    path = _tag_path(root, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _atomic_create_json(path, {
+        "snapshot_id": t.snapshot.snapshot_id,
+        "created_us": int(time.time() * 1e6),
+    })
+    return t.snapshot.snapshot_id
+
+
+def resolve_tag(root: str, name: str) -> int:
+    try:
+        with open(_tag_path(root, name), encoding="utf-8") as f:
+            return int(json.load(f)["snapshot_id"])
+    except FileNotFoundError:
+        raise KeyError(f"no such tag: {name}") from None
+
+
+def delete_tag(root: str, name: str) -> None:
+    try:
+        os.remove(_tag_path(root, name))
+    except FileNotFoundError:
+        raise KeyError(f"no such tag: {name}") from None
+
+
+def list_tags(root: str) -> dict[str, dict]:
+    refs = os.path.join(root, "metadata", "refs")
+    out: dict[str, dict] = {}
+    if os.path.isdir(refs):
+        for fn in sorted(os.listdir(refs)):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(refs, fn), encoding="utf-8") as f:
+                    out[fn[len("tag-"):-len(".json")]] = json.load(f)
+    return out
+
+
+def load_tag(root: str, name: str) -> "TranscriptTable":
+    return TranscriptTable.load(root, resolve_tag(root, name))

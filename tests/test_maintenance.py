@@ -324,3 +324,48 @@ def test_reader_vs_expire_retention_contract(spark, tmp_path, small_cfg):
     # a reader loaded BEFORE the GC but holding a retained snapshot keeps
     # reading the exact same rows (its files survived by reference)
     assert retained_reader.scan(spark).count() == expected
+
+
+def test_tags_pin_snapshots_through_gc(spark, tmp_path, segments_basic, small_cfg):
+    """A named tag pins its snapshot (and that snapshot's data files)
+    through expire_snapshots regardless of keep_last; tags are immutable
+    (duplicate create raises) and deleting the tag releases the pin."""
+    import pytest
+
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        create_tag,
+        delete_tag,
+        list_tags,
+        load_tag,
+    )
+
+    root, cfg = _build_mor_table(spark, tmp_path, segments_basic, small_cfg, "ttag")
+    t = TranscriptTable.load(root)
+    history = t.history()
+    early_sid = history[2].snapshot_id  # well outside keep_last=1
+    create_tag(root, "q3-freeze", early_sid)
+    with pytest.raises(FileExistsError):
+        create_tag(root, "q3-freeze", early_sid)
+    with pytest.raises(ValueError):
+        create_tag(root, "bad name/with slash", early_sid)
+    assert list_tags(root)["q3-freeze"]["snapshot_id"] == early_sid
+
+    pinned_before = load_tag(root, "q3-freeze").scan(spark).orderBy(
+        "conv_id", "turn_idx"
+    ).toPandas()
+    expire_snapshots(root, keep_last=1)
+    # the tagged snapshot survived GC and reads byte-identically
+    pinned_after = load_tag(root, "q3-freeze").scan(spark).orderBy(
+        "conv_id", "turn_idx"
+    ).toPandas()
+    pd.testing.assert_frame_equal(pinned_before, pinned_after)
+    # its untagged siblings outside keep_last are gone
+    retained = {s.snapshot_id for s in TranscriptTable.load(root).history()}
+    assert retained == {early_sid, t.snapshot.snapshot_id}
+
+    # releasing the tag lets the next GC reclaim it
+    delete_tag(root, "q3-freeze")
+    assert list_tags(root) == {}
+    expire_snapshots(root, keep_last=1)
+    retained = {s.snapshot_id for s in TranscriptTable.load(root).history()}
+    assert retained == {t.snapshot.snapshot_id}
