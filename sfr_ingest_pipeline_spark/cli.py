@@ -340,6 +340,40 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_follow(args) -> int:
+    """Tail the table's commit log as a change stream (durable cursor,
+    at-least-once): each poll prints the batch's change rows as JSON lines
+    plus a span summary on stderr, then commits the cursor. Bounded by
+    --max-polls (0 = single catch-up pass)."""
+    from sfr_ingest_pipeline_spark.streaming.tail import ChangelogTail
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    tail = ChangelogTail(args.table, args.cursor,
+                         pre_post=args.pre_post,
+                         step="per_commit" if args.per_commit else "net")
+    if args.from_snapshot is not None:
+        tail.seek(args.from_snapshot)
+    polls = 0
+    while True:
+        batch = tail.poll(spark)
+        if batch is None:
+            if polls >= args.max_polls:
+                break
+            time.sleep(args.interval)
+            polls += 1
+            continue
+        n = 0
+        for line in batch.df.toJSON().toLocalIterator():
+            print(line)
+            n += 1
+        batch.commit()
+        print(json.dumps({"from": batch.from_snapshot_id,
+                          "to": batch.to_snapshot_id, "changes": n}),
+              file=sys.stderr)
+    return 0
+
+
 def cmd_tag(args) -> int:
     """Create / delete / list named immutable snapshot tags (no Spark
     session needed — pure metadata)."""
@@ -475,6 +509,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--with-meta", action="store_true")
     _add_spark_args(s)
     s.set_defaults(fn=cmd_scan)
+
+    fo = sub.add_parser("follow",
+                        help="tail the commit log as a change stream "
+                             "(durable cursor, at-least-once)")
+    fo.add_argument("--table", required=True)
+    fo.add_argument("--cursor", required=True, help="cursor directory")
+    fo.add_argument("--from-snapshot", type=int, default=None,
+                    help="seek before polling (e.g. 1 replays the whole "
+                         "table as inserts); default: tail from now")
+    fo.add_argument("--pre-post", action="store_true")
+    fo.add_argument("--per-commit", action="store_true",
+                    help="one batch per ingest commit instead of one net span")
+    fo.add_argument("--max-polls", type=int, default=0,
+                    help="empty polls to tolerate before exiting (0 = one "
+                         "catch-up pass)")
+    fo.add_argument("--interval", type=float, default=1.0)
+    _add_spark_args(fo)
+    fo.set_defaults(fn=cmd_follow)
 
     tg = sub.add_parser("tag", help="named immutable snapshot refs")
     tg.add_argument("--table", required=True)
