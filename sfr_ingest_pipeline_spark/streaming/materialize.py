@@ -118,3 +118,35 @@ def compact_documents(spark: SparkSession, out_dir: str) -> int:
     os.replace(tmp, out_dir)
     shutil.rmtree(old)
     return int(obs.get["n"])
+
+
+def sync_documents_from_changelog(
+    spark: SparkSession,
+    tail,
+    table_root: str,
+    out_dir: str,
+) -> dict:
+    """Drive the document view from the table's changelog (the reference's
+    uuid-stream -> es-manager loop, re-expressed over :class:`ChangelogTail`):
+    each polled batch names exactly the conversations whose documents are
+    stale, so the refresh is O(changed conversations) per span — deletes
+    included (a fully-deleted conversation gets its ``n_turns=0`` marker via
+    the ``conv_ids`` path). The tail's cursor makes the loop resumable; the
+    snapshot-stamped append keeps re-processing after a crash idempotent.
+
+    The touched-conversation list is collected to the driver — it is
+    O(changed conversations per span), the same cardinality the reference
+    pushed through its uuid stream, not O(table)."""
+    batches = 0
+    docs = 0
+    while (batch := tail.poll(spark)) is not None:
+        convs = [
+            r.conv_id for r in batch.df.select("conv_id").distinct().collect()
+        ]
+        if convs:
+            docs += materialize_conversations(
+                spark, table_root, out_dir, conv_ids=convs
+            )
+        batch.commit()
+        batches += 1
+    return {"batches": batches, "documents_refreshed": docs}

@@ -111,3 +111,63 @@ def test_tail_cascade_reconstructs_table(spark, tmp_path, small_cfg):
         (r.conv_id, r.turn_idx): r.text for r in t.scan(spark).collect()
     }
     assert replica == table_state
+
+
+def test_sync_documents_from_changelog(spark, tmp_path, small_cfg):
+    """Changelog-driven document materialization: after each sync, the view
+    equals a full rebuild; an untouched conversation's document version is
+    NOT rewritten by later waves; a fully-deleted conversation drops out."""
+    from sfr_ingest_pipeline_spark.streaming.materialize import (
+        conversation_documents,
+        read_documents,
+        sync_documents_from_changelog,
+    )
+
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "docs")
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+    tail = ChangelogTail(root, str(tmp_path / "cur"), step="per_commit")
+    tail.seek(1)
+
+    _apply(spark, root, cfg, 0, [ev("I", "c1", 0, "a", 1),
+                                 ev("I", "c1", 1, "b", 2),
+                                 ev("I", "c2", 0, "x", 3)])
+    r = sync_documents_from_changelog(spark, tail, root, out)
+    assert r["batches"] == 1
+
+    def doc_state():
+        return {
+            row.conv_id: (row.n_turns, row.document)
+            for row in read_documents(spark, out).collect()
+        }
+
+    def full_rebuild():
+        t = TranscriptTable.load(root)
+        return {
+            row.conv_id: (row.n_turns, row.document)
+            for row in conversation_documents(t.scan(spark)).collect()
+        }
+
+    assert doc_state() == full_rebuild()
+    import pyspark.sql.functions as F
+    versions_c2_before = (
+        spark.read.parquet(out).filter(F.col("conv_id") == "c2").count()
+    )
+
+    # wave 2 touches only c1 (update) and deletes c2 entirely; adds c3
+    _apply(spark, root, cfg, 1, [ev("U", "c1", 1, "b2", 10),
+                                 ev("D", "c2", 0, "", 11),
+                                 ev("I", "c3", 0, "z", 12)])
+    sync_documents_from_changelog(spark, tail, root, out)
+    assert doc_state() == full_rebuild()
+    assert "c2" not in doc_state()
+    # c2's deletion produced exactly one new version (the n_turns=0 marker)
+    versions_c2_after = (
+        spark.read.parquet(out).filter(F.col("conv_id") == "c2").count()
+    )
+    assert versions_c2_after == versions_c2_before + 1
+
+    # wave 3 touches nothing the view shows (idempotent re-run: no batches)
+    r = sync_documents_from_changelog(spark, tail, root, out)
+    assert r == {"batches": 0, "documents_refreshed": 0}
