@@ -422,6 +422,49 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+@_maintenance_guard
+def cmd_delete(args) -> int:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.table.dml import delete_where
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    res = delete_where(
+        spark, args.table, args.where,
+        conv_ids=args.conv_id or None,
+        ts_us=_parse_ts_us(args.ts) if args.ts else None,
+        config=cfg,
+    )
+    print(json.dumps(res.to_json()))
+    return 0
+
+
+@_maintenance_guard
+def cmd_update(args) -> int:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.table.dml import update_where
+
+    set_exprs = {}
+    for item in args.set:
+        col, _, expr = item.partition("=")
+        if not _ or not col or not expr:
+            print(json.dumps({"error": "bad_set_clause", "detail": item}))
+            return 2
+        set_exprs[col.strip()] = expr.strip()
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    res = update_where(
+        spark, args.table, args.where, set_exprs,
+        conv_ids=args.conv_id or None,
+        ts_us=_parse_ts_us(args.ts) if args.ts else None,
+        config=cfg,
+    )
+    print(json.dumps(res.to_json()))
+    return 0
+
+
 def cmd_view_refresh(args) -> int:
     """Advance the incrementally-maintained rollup view to the table's
     current snapshot; prints the refresh counters as one JSON line."""
@@ -601,6 +644,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="also rewrite the view to one row per group")
     _add_spark_args(vw)
     vw.set_defaults(fn=cmd_view_refresh)
+
+    dl = sub.add_parser(
+        "delete",
+        help="DELETE FROM table WHERE <expr>: tombstone matching live rows "
+             "as an O(matched) MoR delta commit (changelog-visible)",
+    )
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--where", required=True, help="Spark SQL boolean expression")
+    dl.add_argument("--conv-id", action="append",
+                    help="restrict + manifest-prune to these conversations")
+    dl.add_argument("--ts", help="logical delete time (us or ISO-8601; default now)")
+    _add_spark_args(dl)
+    dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "update",
+        help="UPDATE table SET col=expr[,..] WHERE <expr>: rewrite matching "
+             "live rows' payload as an O(matched) MoR delta commit",
+    )
+    up.add_argument("--table", required=True)
+    up.add_argument("--where", required=True)
+    up.add_argument("--set", required=True, action="append",
+                    help="col=spark_sql_expr (repeatable)")
+    up.add_argument("--conv-id", action="append")
+    up.add_argument("--ts", help="logical update time (us or ISO-8601; default now)")
+    _add_spark_args(up)
+    up.set_defaults(fn=cmd_update)
 
     q = sub.add_parser("query", help="run a named analytic query (JSON lines)")
     q.add_argument("name", nargs="?", help="query name (see --list)")

@@ -1,0 +1,241 @@
+"""Row-level DML on the transcript table: ``DELETE FROM ... WHERE`` and
+``UPDATE ... SET ... WHERE`` (SURVEY.md §2.11 MERGE family — the ad-hoc
+correction surface every lake table grows next to its CDC feed; Iceberg/Delta
+row-level-DML analog re-expressed on this engine's LWW + merge-on-read
+layout).
+
+Design: a DML statement is a NORMAL ingest-shaped commit, not a physical
+rewrite. Matching keys get one new stored version each, with the LWW order
+advanced past the current winner — a delete writes a tombstone and raises the
+key's ``_del_hw`` delete memory (so late CDC events older than the delete
+stay dead, same rule as streamed deletes), an update writes the post-image.
+That buys, for free, every property the ingest path already proved:
+
+* O(matched keys) write amplification — a predicate matching 100 rows in a
+  100 TB table appends ~100 rows of delta, no base file is rewritten
+  (compaction folds them later, exactly like streamed updates);
+* time travel and rollback see through it (the parent snapshot still resolves
+  to the pre-DML state);
+* the changelog sees it: the commit's added delta files carry exactly the
+  changed keys, so ``changes_between`` emits delete / update_pre+postimage
+  rows and downstream incremental views (``streaming/incremental.py``) stay
+  maintainable — a DML commit is deliberately NOT tagged ``maintenance``
+  (maintenance commits are changelog-invisible by contract);
+* exactly-once bookkeeping is untouched: the batch-id marker carries forward
+  (a DML commit must never make a replayed CDC batch look new).
+
+Scale: the predicate is applied AFTER per-key LWW resolution (only the live
+winner's payload defines a match — a superseded version matching the
+predicate must not fire), so payload predicates cannot push below the
+aggregate; key-column predicates can and do (Catalyst pushes grouping-key
+filters through the groupBy into the parquet scan). For point-ish deletes the
+caller passes ``conv_ids`` and the scan prunes manifest-level to the keys'
+buckets + conv_id-range files before any I/O — the DML twin of
+``read_conversation`` pruning.
+
+Isolation: snapshot-level (Delta's WriteSerializable analog). The predicate
+is evaluated against the loaded snapshot; the CAS commit rebases onto a
+concurrent winner only when every bucket this DML wrote is byte-identical —
+so a concurrent write to a MATCHED key's bucket conflicts (exit-4 retry),
+while a concurrent insert in an UNTOUCHED bucket that would have matched the
+predicate is admitted (the DML simply ran "first" in the serial order). A
+correction's LWW order advances past the snapshot winner, so manual DML beats
+late-arriving CDC events for the same key — deliberate: corrections are
+issued by operators who saw the bad row, and a late feed event must not
+silently undo them.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sfr_ingest_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+from sfr_ingest_pipeline_spark.table.transcript_table import (
+    DataFileInfo,
+    TranscriptTable,
+    bucket_expr,
+    resolve_stored_versions,
+)
+
+
+@dataclass
+class DmlResult:
+    op: str
+    rows_matched: int
+    committed: bool
+    snapshot_id: int | None
+    files_read: int
+    files_pruned: int
+    elapsed_sec: float
+    touched_buckets: list[int] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return dict(self.__dict__)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_root: str,
+    predicate: str,
+    *,
+    conv_ids: list[str] | None = None,
+    ts_us: int | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DmlResult:
+    """Tombstone every live row matching ``predicate`` (a Spark SQL boolean
+    expression over the logical columns), advancing each key's LWW order and
+    its ``_del_hw`` delete high-water mark.
+
+    ``ts_us``: the delete's logical timestamp (default: now). The stored
+    order is ``(greatest(row ts, ts_us), event_seq + 1)`` — strictly greater
+    than the current winner even under clock skew or synthetic future data,
+    so the tombstone wins LWW deterministically."""
+    return _dml_commit(spark, table_root, "delete", predicate, None,
+                       conv_ids=conv_ids, ts_us=ts_us, config=config)
+
+
+def update_where(
+    spark: SparkSession,
+    table_root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    *,
+    conv_ids: list[str] | None = None,
+    ts_us: int | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DmlResult:
+    """Rewrite the payload of every live row matching ``predicate``:
+    each ``set_exprs`` entry is column -> Spark SQL expression evaluated
+    against the row's CURRENT state (so ``{"text": "upper(text)"}`` works).
+    Key columns and order columns cannot be SET — changing a key is a
+    delete + insert, changing the order column would corrupt LWW."""
+    table = TranscriptTable.load(table_root)
+    illegal = (set(set_exprs)
+               & (set(table.snapshot.key_cols) | set(table.snapshot.order_cols)))
+    if illegal:
+        raise ValueError(
+            f"UPDATE cannot SET key/order columns {sorted(illegal)}; "
+            "delete + re-insert via the CDC feed instead"
+        )
+    unknown = set(set_exprs) - {f.name for f in table.schema.fields}
+    if unknown:
+        raise ValueError(f"UPDATE SET references unknown columns {sorted(unknown)}")
+    return _dml_commit(spark, table_root, "update", predicate, set_exprs,
+                       conv_ids=conv_ids, ts_us=ts_us, config=config)
+
+
+def _pruned_files(
+    table: TranscriptTable, conv_ids: list[str] | None
+) -> tuple[list[DataFileInfo], int]:
+    """(files to read, files pruned) — manifest-level bucket + conv_id-range
+    pruning when the caller names the target conversations."""
+    if not conv_ids:
+        files = table.files
+        return files, 0
+    from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+
+    buckets = {bucket_of(c, table.n_buckets) for c in conv_ids}
+    in_buckets = table.files_in_buckets(buckets)
+    lo, hi = min(conv_ids), max(conv_ids)
+    files = [
+        f for f in in_buckets
+        if (f.conv_id_max is None or f.conv_id_max >= lo)
+        and (f.conv_id_min is None or f.conv_id_min <= hi)
+    ]
+    return files, len(table.files) - len(files)
+
+
+def _dml_commit(
+    spark: SparkSession,
+    table_root: str,
+    op: str,
+    predicate: str,
+    set_exprs: dict[str, str] | None,
+    *,
+    conv_ids: list[str] | None,
+    ts_us: int | None,
+    config: EngineConfig,
+) -> DmlResult:
+    t0 = time.time()
+    table = TranscriptTable.load(table_root)
+    key_cols = list(table.snapshot.key_cols)
+    order_cols = list(table.snapshot.order_cols)
+    stamp_us = int(time.time() * 1e6) if ts_us is None else int(ts_us)
+
+    files, n_pruned = _pruned_files(table, conv_ids)
+    raw = table.scan(spark, with_meta=True, files=files)
+    cur = resolve_stored_versions(raw, key_cols, order_cols).drop("_cseq")
+    live = cur.filter(~F.col("_deleted"))
+    if conv_ids:
+        live = live.filter(F.col("conv_id").isin(list(conv_ids)))
+    matched = live.filter(F.expr(predicate))
+
+    # ---- advance the LWW order past the current winner ---------------------
+    # order = (greatest(ts, stamp), event_seq + 1): the +1 on the minor order
+    # makes the new version strictly greater even when ts saturates; commit
+    # recency (commit_seq_col) breaks any residual tie in this version's
+    # favor anyway.
+    out = matched
+    if order_cols and order_cols[0] == "ts":
+        out = out.withColumn(
+            "ts", F.greatest(F.col("ts"), F.timestamp_micros(F.lit(stamp_us)))
+        )
+    minor = order_cols[-1] if order_cols else "event_seq"
+    out = out.withColumn(
+        minor, F.coalesce(F.col(minor), F.lit(0)).cast("long") + F.lit(1)
+    )
+
+    if op == "delete":
+        hw = F.struct(*[F.col(c).alias(c) for c in order_cols])
+        out = (
+            out.withColumn("_deleted", F.lit(True))
+            # delete memory: max with any prior delete so re-ordered history
+            # can never lower the high-water mark
+            .withColumn("_del_hw", F.greatest(F.col("_del_hw"), hw))
+        )
+    else:
+        for col, expr in (set_exprs or {}).items():
+            out = out.withColumn(col, F.expr(expr).cast(
+                table.schema[col].dataType))
+
+    # ---- MoR delta append: one file per touched bucket ----------------------
+    commit_rel = (
+        f"data/dml-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    out = out.withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
+    (
+        out.repartition(config.shuffle_partitions, F.col("_bucket"))
+        .sortWithinPartitions(*key_cols)
+        .write.partitionBy("_bucket").mode("overwrite")
+        .parquet(f"{table.root}/{commit_rel}")
+    )
+    new_files = table.harvest_files(commit_rel, kind_for_bucket="delta")
+    rows_matched = sum(f.rows for f in new_files)
+    if not new_files:
+        # nothing matched: no commit — remove the empty write dir so the
+        # table tree stays exactly its manifests' closure
+        import shutil
+
+        shutil.rmtree(f"{table.root}/{commit_rel}", ignore_errors=True)
+        return DmlResult(op, 0, False, None, len(files), n_pruned,
+                         time.time() - t0)
+
+    props = dict(table.snapshot.properties)  # carry batch_id marker forward
+    props.pop("maintenance", None)
+    props["dml"] = {
+        "op": op,
+        "predicate": predicate,
+        "set": set_exprs,
+        "conv_ids": conv_ids,
+        "ts_us": stamp_us,
+        "rows_matched": rows_matched,
+    }
+    touched = sorted({f.bucket for f in new_files})
+    new_table = table.commit(set(), new_files, props)
+    return DmlResult(op, rows_matched, True, new_table.snapshot.snapshot_id,
+                     len(files), n_pruned, time.time() - t0, touched)

@@ -82,7 +82,7 @@ def commit_seq_of(path_col):
     return F.coalesce(
         F.regexp_extract(
             path_col,
-            r"/(?:snap|compact|recluster|rebucket)-(\d+)-[0-9a-f]+/", 1,
+            r"/(?:snap|compact|recluster|rebucket|dml)-(\d+)-[0-9a-f]+/", 1,
         ).try_cast("long"),
         F.lit(0).cast("long"),
     )

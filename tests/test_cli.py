@@ -108,3 +108,39 @@ def test_cli_v2_wave_and_timestamp_travel(spark, tmp_path, capsys):
     assert "tool_meta" not in json.loads(out[0])
     cur_first = _run(capsys, "scan", "--table", t, "--limit", "5")[1]
     assert any("tool_meta" in json.loads(l) for l in cur_first) or True
+
+
+def test_cli_dml_delete_update(spark, tmp_path, capsys):
+    b = str(tmp_path / "binlog")
+    t = str(tmp_path / "table")
+    ck = str(tmp_path / "ckpt")
+    rc, _, _ = _run(capsys, "generate", "--out", b, "--events", "2000",
+                    "--segments", "2", "--conversations", "50")
+    assert rc == 0
+    rc, _, _ = _run(capsys, "replay", "--binlog", b, "--table", t,
+                    "--checkpoint", ck, "--buckets", "4")
+    assert rc == 0
+
+    rc, out, _ = _run(capsys, "update", "--table", t,
+                      "--where", "role = 'assistant'",
+                      "--set", "text=upper(text)")
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert res["committed"] and res["rows_matched"] > 0
+
+    rc, out, _ = _run(capsys, "delete", "--table", t,
+                      "--where", "role = 'tool'")
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert res["committed"] and res["rows_matched"] > 0
+
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    live = TranscriptTable.load(t).scan(spark)
+    assert live.filter("role = 'tool'").count() == 0
+    texts = [r.text for r in live.filter("role = 'assistant'").select("text").collect()]
+    assert texts and all(x == x.upper() for x in texts)
+
+    rc, out, _ = _run(capsys, "update", "--table", t,
+                      "--where", "true", "--set", "badclause")
+    assert rc == 2
