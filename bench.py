@@ -101,7 +101,13 @@ def main() -> int:
     os.makedirs(_work_base(), exist_ok=True)
     spark = get_spark(
         master=master, app_name="bench",
-        extra_confs={"spark.local.dir": os.path.join(_work_base(), "spark-local")},
+        extra_confs={
+            "spark.local.dir": os.path.join(_work_base(), "spark-local"),
+            # keep stdout to exactly the one contract JSON line: console
+            # progress bars write \r-frames that can glue onto it when the
+            # driver captures a pty
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

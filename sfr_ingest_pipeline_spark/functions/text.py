@@ -102,3 +102,124 @@ def bpe_token_count(col: Column | str) -> Column:
     codegen regex — no vocab, no Python."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+# Word = maximal lowercase-alphanumeric run; the unit for TF-IDF and the
+# repetition statistics below (same regex on the DuckDB side).
+WORD_RE = r"[a-z0-9]+"
+
+
+def _words(docs, id_col: str, text_col: str):
+    """One (id, term) row per word occurrence — the exploded token stream
+    both tfidf_top_terms and repetition_stats aggregate over."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("term"),
+    )
+
+
+def tfidf_top_terms(docs, id_col: str, text_col: str, k: int = 3):
+    """Top-``k`` TF-IDF terms per document.
+
+    tfidf = tf * ln(n_docs / df); ranked per document by (rounded score
+    desc, term asc) so the ordering is deterministic and oracle-mirrorable
+    (ln agreement at 4-dp rounding between JVM and DuckDB is already proven
+    by ``quality_scores``).
+
+    Scale shape: explode -> two hash aggregations (doc-term tf, then term
+    df — both map-side partial) -> one shuffle join on term (vocab-sized
+    right side; AQE broadcasts it when small) -> per-doc window on the
+    doc-partitioned side. No driver actions: n_docs rides in as a 1-row
+    broadcast cross join. All codegen, no Python.
+    """
+    tf = (
+        _words(docs, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def repetition_stats(docs, id_col: str, text_col: str):
+    """Gopher-style within-document repetition statistics (Rae et al. 2021,
+    'Scaling Language Models' quality rules, public): per document —
+
+    * ``n_words``     total word count;
+    * ``top_word_frac``    occurrences of the most frequent word / n_words;
+    * ``dup_bigram_frac``  duplicated word-bigram occurrences / total bigrams
+      (1 - distinct/total; 0.0 when the doc has < 2 words).
+
+    Shape: explode words and bigrams once each, two hash aggregations per
+    stream (map-side partial), join the two per-doc stat rows. Linear in
+    corpus size — never the O(distinct x length) per-row array fold a
+    higher-order-function version would cost on long documents.
+    """
+    words = _words(docs, id_col, text_col)
+    wstats = (
+        words.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    # bigrams via a self-zip of the per-doc word array: arrays_zip of the
+    # word list with itself shifted by one, built WITHOUT re-reading the doc
+    arr = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+        ).alias("ws"),
+    )
+    bigrams = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                "(w, i) -> concat(w, ' ', element_at(ws, i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    bstats = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    safe_w = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    safe_b = F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)).cast("double")
+    return (
+        wstats.join(bstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.round(F.col("top_cnt") / safe_w, 4).alias("top_word_frac"),
+            F.round(
+                (F.coalesce(F.col("n_bigrams"), F.lit(0))
+                 - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))) / safe_b, 4
+            ).alias("dup_bigram_frac"),
+        )
+    )

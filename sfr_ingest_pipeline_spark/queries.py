@@ -1701,3 +1701,88 @@ ORACLE_SQL["near_dedup_kept_docs"] = f"""
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT node FROM dropped)
 """
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (functions/text.py tfidf_top_terms):
+    the classic corpus-statistics operator a training-data pipeline uses for
+    keyword extraction / topic tagging. Deterministic rank: (rounded score
+    desc, term asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def q_repetition_flags(spark, sf_dir):
+    """Gopher-style within-document repetition stats (functions/text.py
+    repetition_stats) + the quality flag a filter stage would gate on."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = TX.repetition_stats(docs, "doc_id", "text")
+    return stats.withColumn(
+        "flagged",
+        (F.col("top_word_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.2),
+    )
+
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+QUERIES["repetition_flags"] = q_repetition_flags
+ORACLE_SQL.update({
+    "tfidf_top_terms": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(n_docs / df), 4) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rk FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS INT) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+    "repetition_flags": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents
+        ), wcounts AS (
+            SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+        ), wstats AS (
+            SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS top_cnt
+            FROM wcounts GROUP BY 1
+        ), warr AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+            FROM warr, unnest(range(1, len(ws))) AS t(i)
+        ), bcounts AS (
+            SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2
+        ), bstats AS (
+            SELECT doc_id, sum(cnt) AS n_bigrams,
+                   count(*) AS n_distinct_bigrams
+            FROM bcounts GROUP BY 1
+        )
+        SELECT w.doc_id, w.n_words,
+               round(w.top_cnt / CAST(greatest(w.n_words, 1) AS DOUBLE), 4)
+                   AS top_word_frac,
+               round((coalesce(b.n_bigrams, 0) - coalesce(b.n_distinct_bigrams, 0))
+                     / CAST(greatest(coalesce(b.n_bigrams, 0), 1) AS DOUBLE), 4)
+                   AS dup_bigram_frac,
+               (round(w.top_cnt / CAST(greatest(w.n_words, 1) AS DOUBLE), 4) > 0.2
+                OR round((coalesce(b.n_bigrams, 0) - coalesce(b.n_distinct_bigrams, 0))
+                         / CAST(greatest(coalesce(b.n_bigrams, 0), 1) AS DOUBLE), 4) > 0.2)
+                   AS flagged
+        FROM wstats w LEFT JOIN bstats b USING (doc_id)
+    """,
+})

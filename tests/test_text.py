@@ -55,3 +55,44 @@ def test_fingerprint_canonicalizes(spark):
     c = _one(spark, TX.fingerprint("text"), "different text")
     assert a == b
     assert a != c
+
+
+def test_tfidf_top_terms_micro(spark):
+    # 3 docs; 'apple' only in doc 1 -> highest idf; 'the' in all -> idf 0
+    rows = [
+        (1, "the apple the apple pie"),
+        (2, "the banana pie"),
+        (3, "the cherry pie pie"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = TX.tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    import math
+    d1 = by_doc[1]
+    assert d1[0].term == "apple" and d1[0].tf == 2 and d1[0].df == 1
+    assert abs(d1[0].tfidf - round(2 * math.log(3 / 1), 4)) < 1e-9
+    # 'the' appears in every doc: idf = ln(1) = 0 -> never outranks a
+    # positive-score term
+    assert all(r.term != "the" or r.tfidf == 0.0 for rs in by_doc.values() for r in rs)
+    # rank is dense per doc starting at 1
+    assert [r.rk for r in d1] == [1, 2]
+
+
+def test_repetition_stats_micro(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # 4 words, all 'spam'
+        (2, "one two three four"),            # all distinct
+        (3, "a b a b a b"),                   # bigram 'a b' x3, 'b a' x2
+        (4, "solo"),                          # 1 word -> no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in TX.repetition_stats(docs, "doc_id", "text").collect()}
+    assert got[1].n_words == 4 and got[1].top_word_frac == 1.0
+    # doc1 bigrams: 3x 'spam spam' -> dup frac (3-1)/3
+    assert got[1].dup_bigram_frac == round(2 / 3, 4)
+    assert got[2].top_word_frac == 0.25 and got[2].dup_bigram_frac == 0.0
+    # doc3: 5 bigrams, 2 distinct -> (5-2)/5
+    assert got[3].dup_bigram_frac == round(3 / 5, 4)
+    assert got[4].n_words == 1 and got[4].dup_bigram_frac == 0.0
