@@ -303,3 +303,91 @@ def simhash_near_dup_pairs(
         )
     )
     return within.unionByName(cross)
+
+
+# ---------------------------------------------------------------- word-gram
+# Sub-document granularity: space-joined lowercase word n-grams — the unit
+# for cross-document overlap measurement and benchmark decontamination
+# (C4 / RefinedWeb-style pipeline stages; public methods). Same WORD_RE as
+# functions/text.py so every text operator tokenizes identically.
+
+WORD_RE = r"[a-z0-9]+"
+
+
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of n-word shingles (empty when the doc has < n words).
+
+    transform(sequence) over ONE materialized word array — no explode at
+    this layer, so callers decide when to go tall. Mirrors 1:1 into DuckDB
+    (range + list slice + array_to_string) for exact oracles."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per document: how much of it is duplicated ELSEWHERE in the corpus —
+    the fraction of its distinct word n-grams that also occur in at least
+    one other document. The sub-document twin of exact/MinHash doc-level
+    dedup: catches boilerplate and quote-heavy near-copies that whole-doc
+    hashing misses.
+
+    Shape: explode -> distinct (doc_id, gram) -> gram doc-frequency hash
+    agg (map-side partial) -> join back on gram -> per-doc agg. Every stage
+    keys on gram or doc id; no driver actions, no cartesian. At 100 TB the
+    gram doc-frequency table is the big intermediate — it shuffles once and
+    AQE handles skewed grams (boilerplate appearing in millions of docs
+    lands in one reducer ONLY for the count, which is a partial-agg sum)."""
+    grams = (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    return (
+        grams.join(gdf, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(F.col("n_shared")
+                    / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"), 4),
+        )
+    )
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word n-gram with any benchmark document, with the distinct-overlap
+    count — the standard pre-training hygiene pass (flag, then drop or
+    audit, training docs that leak evaluation data).
+
+    The benchmark side is tiny relative to the corpus, so its distinct
+    gram set BROADCASTS — the 100 TB corpus never shuffles for the probe;
+    only the per-doc count aggregation moves matched rows."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = (
+        corpus.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -1786,3 +1786,62 @@ ORACLE_SQL.update({
         FROM wstats w LEFT JOIN bstats b USING (doc_id)
     """,
 })
+
+
+def q_cross_doc_ngram_dup(spark, sf_dir):
+    """Sub-document cross-corpus duplication (functions/dedup.py
+    cross_doc_ngram_dup): per doc, the fraction of its distinct word
+    5-grams that occur in >= 2 documents — catches boilerplate whole-doc
+    hashing misses."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.cross_doc_ngram_dup(docs, "doc_id", "text", n=5)
+
+
+def q_benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py decontaminate_hits):
+    benchmark = every 7th doc (deterministic holdout stand-in); flag
+    corpus docs sharing any word 5-gram with it. The benchmark gram set
+    broadcasts — the corpus side never shuffles for the probe."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return D.decontaminate_hits(corpus, bench, "doc_id", "text", n=5)
+
+
+QUERIES["cross_doc_ngram_dup"] = q_cross_doc_ngram_dup
+QUERIES["benchmark_decontamination"] = q_benchmark_decontamination
+_GRAMS_CTE = r"""
+        warr AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+            FROM warr,
+                 unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        )
+"""
+ORACLE_SQL.update({
+    "cross_doc_ngram_dup": f"""
+        WITH {_GRAMS_CTE}, gdf AS (
+            SELECT g, count(*) AS gdf FROM grams GROUP BY 1
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END)
+                     / CAST(greatest(count(*), 1) AS DOUBLE), 4) AS shared_frac
+        FROM grams JOIN gdf USING (g)
+        GROUP BY doc_id
+    """,
+    "benchmark_decontamination": f"""
+        WITH {_GRAMS_CTE}, bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+        )
+        SELECT doc_id, count(*) AS n_hits
+        FROM grams JOIN bench USING (g)
+        WHERE doc_id % 7 != 0
+        GROUP BY doc_id
+    """,
+})

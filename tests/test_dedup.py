@@ -172,3 +172,34 @@ def test_lsh_dedup_query_pairs_are_verified_near_dups(spark):
 
     rows = q_minhash_lsh_dedup_pairs(spark, "/root/testdata/sf0.001").collect()
     assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_word_ngrams_and_cross_doc_dup(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),   # grams shared with 2
+        (2, "alpha beta gamma delta epsilon eta"),    # shares 2 grams w/ 1
+        (3, "totally different words here now ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           D.cross_doc_ngram_dup(docs, "doc_id", "text", n=5).collect()}
+    # doc1: grams = [a b g d e], [b g d e z]; first shared with doc2
+    assert out[1].n_grams == 2 and out[1].n_shared == 1
+    assert out[1].shared_frac == 0.5
+    assert out[2].n_shared == 1
+    assert out[3].n_shared == 0 and out[3].shared_frac == 0.0
+
+
+def test_decontaminate_hits_broadcasts(spark):
+    rows = [(i, f"w{i} common phrase of five words tail{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter("doc_id = 0")
+    corpus = docs.filter("doc_id != 0")
+    out = D.decontaminate_hits(corpus, bench, "doc_id", "text", n=5)
+    # every corpus doc shares 'common phrase of five words' (+1 more gram
+    # window overlapping it): at least one hit each
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    assert set(got) == set(range(1, 20))
+    assert all(v >= 1 for v in got.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
