@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "coalesce_field_lww",
     "date_ranges",
     "fuzzy_part_pairs",
+    "tfidf_top_terms",
+    "cross_doc_ngram_dup",
 ]
 
 

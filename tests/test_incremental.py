@@ -163,3 +163,33 @@ def test_generator_replay_view_converges(spark, tmp_path, small_cfg,
     oracle = oracle_state(t, spark)
     assert n == len(oracle)
     assert view_state(view, spark) == oracle
+
+
+def test_view_refreshes_exactly_over_dml(spark, tmp_path, small_cfg):
+    """Row-level DML commits are changelog-visible by contract, so an
+    incremental view must converge across a DELETE and an UPDATE without a
+    recompute — the correction surface and the IVM read side compose."""
+    from sfr_ingest_pipeline_spark.table.dml import delete_where, update_where
+
+    root = str(tmp_path / "dmlv")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    b0 = pd.DataFrame([
+        ev("I", "c1", 0, "aaa", 1), ev("I", "c1", 1, "bb", 2),
+        ev("I", "c2", 0, "cccc", 3), ev("I", "c3", 0, "d", 4),
+    ])
+    apply_batch(spark, root, spark.createDataFrame(b0), 0, config=small_cfg)
+    view = IncrementalAggView(str(tmp_path / "v_dml"), root)
+    view.refresh(spark)
+
+    update_where(spark, root, "conv_id = 'c1' and turn_idx = 0",
+                 {"text": "'lengthened text'"}, config=small_cfg)
+    r = view.refresh(spark)
+    t = TranscriptTable.load(root)
+    assert view_state(view, spark) == oracle_state(t, spark)
+
+    delete_where(spark, root, "conv_id = 'c2'", config=small_cfg)
+    view.refresh(spark)
+    t = TranscriptTable.load(root)
+    state = view_state(view, spark)
+    assert state == oracle_state(t, spark)
+    assert "c2" not in state
