@@ -465,6 +465,28 @@ def cmd_update(args) -> int:
     return 0
 
 
+@_maintenance_guard
+def cmd_merge(args) -> int:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.table.dml import merge_into
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    source = spark.read.parquet(args.source)
+    res = merge_into(
+        spark, args.table, source,
+        when_matched=None if args.when_matched == "none" else args.when_matched,
+        when_not_matched=(None if args.when_not_matched == "none"
+                          else args.when_not_matched),
+        conv_ids=args.conv_id or None,
+        ts_us=_parse_ts_us(args.ts) if args.ts else None,
+        config=cfg,
+    )
+    print(json.dumps(res.to_json()))
+    return 0
+
+
 def cmd_view_refresh(args) -> int:
     """Advance the incrementally-maintained rollup view to the table's
     current snapshot; prints the refresh counters as one JSON line."""
@@ -671,6 +693,22 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--ts", help="logical update time (us or ISO-8601; default now)")
     _add_spark_args(up)
     up.set_defaults(fn=cmd_update)
+
+    mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO table FROM a key-unique parquet source: "
+             "WHEN MATCHED update/delete, WHEN NOT MATCHED insert",
+    )
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--source", required=True, help="parquet path (logical columns)")
+    mg.add_argument("--when-matched", choices=["update", "delete", "none"],
+                    default="update")
+    mg.add_argument("--when-not-matched", choices=["insert", "none"],
+                    default="insert")
+    mg.add_argument("--conv-id", action="append")
+    mg.add_argument("--ts", help="logical merge time (us or ISO-8601; default now)")
+    _add_spark_args(mg)
+    mg.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query", help="run a named analytic query (JSON lines)")
     q.add_argument("name", nargs="?", help="query name (see --list)")

@@ -203,7 +203,27 @@ def _dml_commit(
             out = out.withColumn(col, F.expr(expr).cast(
                 table.schema[col].dataType))
 
-    # ---- MoR delta append: one file per touched bucket ----------------------
+    detail = {"predicate": predicate, "set": set_exprs, "conv_ids": conv_ids,
+              "ts_us": stamp_us}
+    return _commit_delta(table, out, op, detail, config,
+                         files_read=len(files), files_pruned=n_pruned, t0=t0)
+
+
+def _commit_delta(
+    table: TranscriptTable,
+    out: DataFrame,
+    op: str,
+    detail: dict,
+    config: EngineConfig,
+    *,
+    files_read: int,
+    files_pruned: int,
+    t0: float,
+) -> DmlResult:
+    """Write ``out`` (physical-schema rows, one new version per key) as a
+    MoR delta append and commit it as a DML snapshot: batch-id marker
+    carried forward, ``dml`` property recorded, changelog-visible."""
+    key_cols = list(table.snapshot.key_cols)
     commit_rel = (
         f"data/dml-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
     )
@@ -222,20 +242,167 @@ def _dml_commit(
         import shutil
 
         shutil.rmtree(f"{table.root}/{commit_rel}", ignore_errors=True)
-        return DmlResult(op, 0, False, None, len(files), n_pruned,
+        return DmlResult(op, 0, False, None, files_read, files_pruned,
                          time.time() - t0)
 
     props = dict(table.snapshot.properties)  # carry batch_id marker forward
     props.pop("maintenance", None)
-    props["dml"] = {
-        "op": op,
-        "predicate": predicate,
-        "set": set_exprs,
-        "conv_ids": conv_ids,
-        "ts_us": stamp_us,
-        "rows_matched": rows_matched,
-    }
+    props["dml"] = {"op": op, "rows_matched": rows_matched, **detail}
     touched = sorted({f.bucket for f in new_files})
     new_table = table.commit(set(), new_files, props)
     return DmlResult(op, rows_matched, True, new_table.snapshot.snapshot_id,
-                     len(files), n_pruned, time.time() - t0, touched)
+                     files_read, files_pruned, time.time() - t0, touched)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_root: str,
+    source: DataFrame,
+    *,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    conv_ids: list[str] | None = None,
+    ts_us: int | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DmlResult:
+    """Generic ``MERGE INTO`` from an arbitrary source DataFrame — the
+    Iceberg/Delta multi-action merge statement on this engine's layout:
+
+    * ``when_matched``: ``"update"`` (source payload columns replace the
+      live row's; columns ABSENT from the source keep their live values),
+      ``"delete"`` (tombstone + raise delete memory), or ``None`` (leave
+      matched rows untouched);
+    * ``when_not_matched``: ``"insert"`` (source row becomes a new turn;
+      payload columns absent from the source land null) or ``None``.
+
+    "Matched" means a LIVE row exists for the source key — a tombstoned
+    key counts as not-matched (insert revives it with a fresh order that
+    outranks its delete memory), matching Delta/Iceberg semantics where
+    deleted rows are simply absent.
+
+    The source must be key-unique: two source rows for one key would
+    write two versions with the SAME advanced order (nondeterministic
+    winner), so that raises up front — pre-aggregate the source instead
+    (the CDC feed path, ``apply_batch``, is the right tool for ordered
+    multi-event streams; MERGE INTO is the one-shot correction/backfill
+    surface).
+
+    Scale: the target read prunes to ``conv_ids`` when given (manifest
+    bucket + range pruning, same as DELETE/UPDATE); the join is
+    key-partitioned; the write is O(source rows) delta append. Exactly
+    like the other DML verbs it is changelog-visible, carries the batch
+    marker forward, and time travel sees through it.
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update/delete/None, got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert/None, got {when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("MERGE INTO with no actions is a no-op; pass at least one")
+    t0 = time.time()
+    table = TranscriptTable.load(table_root)
+    key_cols = list(table.snapshot.key_cols)
+    order_cols = list(table.snapshot.order_cols)
+    stamp_us = int(time.time() * 1e6) if ts_us is None else int(ts_us)
+
+    missing_keys = set(key_cols) - set(source.columns)
+    if missing_keys:
+        raise ValueError(f"source is missing key columns {sorted(missing_keys)}")
+    logical_cols = [f.name for f in table.schema.fields]
+    unknown = set(source.columns) - set(logical_cols)
+    if unknown:
+        raise ValueError(
+            f"source carries columns {sorted(unknown)} not in the table "
+            "schema; evolve the table first (ALTER-on-write via the ingest "
+            "path) or drop them"
+        )
+    if conv_ids:
+        source = source.filter(F.col("conv_id").isin(list(conv_ids)))
+    dup = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "source has multiple rows for at least one key; MERGE INTO "
+            "requires a key-unique source (pre-aggregate, or use the CDC "
+            "apply_batch path for ordered event streams)"
+        )
+
+    files, n_pruned = _pruned_files(table, conv_ids)
+    raw = table.scan(spark, with_meta=True, files=files)
+    cur = resolve_stored_versions(raw, key_cols, order_cols)
+
+    src_payload = [c for c in source.columns if c not in key_cols]
+    tgt_payload = [c for c in cur.columns if c not in key_cols]
+    s = source.select(
+        *key_cols, *[F.col(c).alias(f"_s_{c}") for c in src_payload]
+    )
+    joined = s.join(cur, key_cols, "left")
+
+    matched = F.col("_deleted") == F.lit(False)  # null (no row) -> not matched
+    keep = F.lit(False)
+    if when_matched:
+        keep = keep | matched
+    if when_not_matched:
+        keep = keep | ~F.coalesce(matched, F.lit(False))
+    out = joined.filter(keep)
+
+    # ---- new LWW order: strictly past the live winner (or delete memory)
+    if order_cols and order_cols[0] == "ts":
+        cands = [F.col("ts"), F.timestamp_micros(F.lit(stamp_us))]
+        if "ts" in src_payload:
+            cands.append(F.col("_s_ts"))
+        out = out.withColumn("ts", F.greatest(*cands))
+    minor = order_cols[-1] if order_cols else "event_seq"
+    out = out.withColumn(
+        minor, F.coalesce(F.col(minor), F.lit(0)).cast("long") + F.lit(1)
+    )
+
+    is_delete = matched & F.lit(when_matched == "delete")
+    hw = F.struct(*[F.col(c).alias(c) for c in order_cols])
+    for c in logical_cols:
+        if c in key_cols or c in order_cols:
+            continue
+        if when_matched == "update" and c in src_payload:
+            # source value replaces on match (including explicit null);
+            # on insert the source value IS the row
+            out = out.withColumn(
+                c,
+                F.when(F.coalesce(matched, F.lit(False)), F.col(f"_s_{c}"))
+                .otherwise(F.col(f"_s_{c}")),
+            )
+        elif c in src_payload:
+            # matched rows are deletes (or filtered); inserts take source
+            out = out.withColumn(
+                c, F.when(is_delete, F.col(c)).otherwise(F.col(f"_s_{c}"))
+            )
+        # else: keep live value on update, stays null on insert
+    out = (
+        out.withColumn("_deleted", F.coalesce(is_delete, F.lit(False)))
+        .withColumn(
+            "_del_hw",
+            F.when(F.coalesce(is_delete, F.lit(False)),
+                   F.greatest(F.col("_del_hw"), hw))
+            .otherwise(F.col("_del_hw")),
+        )
+    )
+    # write with the table's declared column types — a source built from
+    # e.g. a CSV with narrower/wider types must not corrupt the physical
+    # schema the scan path reads with
+    types = {f.name: f.dataType for f in table.schema.fields}
+    out = out.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in (*key_cols, *tgt_payload)
+        ],
+    )
+
+    detail = {
+        "statement": "merge_into",
+        "when_matched": when_matched,
+        "when_not_matched": when_not_matched,
+        "conv_ids": conv_ids,
+        "ts_us": stamp_us,
+    }
+    return _commit_delta(table, out, "merge", detail, config,
+                         files_read=len(files), files_pruned=n_pruned, t0=t0)

@@ -144,3 +144,37 @@ def test_cli_dml_delete_update(spark, tmp_path, capsys):
     rc, out, _ = _run(capsys, "update", "--table", t,
                       "--where", "true", "--set", "badclause")
     assert rc == 2
+
+
+def test_cli_merge_into(spark, tmp_path, capsys):
+    b = str(tmp_path / "binlog")
+    t = str(tmp_path / "table")
+    ck = str(tmp_path / "ckpt")
+    rc, _, _ = _run(capsys, "generate", "--out", b, "--events", "1000",
+                    "--segments", "1", "--conversations", "20")
+    assert rc == 0
+    rc, _, _ = _run(capsys, "replay", "--binlog", b, "--table", t,
+                    "--checkpoint", ck, "--buckets", "4")
+    assert rc == 0
+
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    live = TranscriptTable.load(t).scan(spark)
+    one = live.select("conv_id", "turn_idx").first()
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(one.conv_id, one.turn_idx, "merged text"),
+         ("conv-brand-new", 0, "fresh row")],
+        "conv_id string, turn_idx int, text string",
+    ).write.parquet(src)
+
+    rc, out, _ = _run(capsys, "merge", "--table", t, "--source", src)
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert res["committed"] and res["rows_matched"] == 2
+
+    live = TranscriptTable.load(t).scan(spark)
+    assert live.filter(
+        (live.conv_id == one.conv_id) & (live.turn_idx == one.turn_idx)
+        & (live.text == "merged text")).count() == 1
+    assert live.filter("conv_id = 'conv-brand-new'").count() == 1

@@ -205,3 +205,124 @@ def test_dml_then_replay_consistency(spark, tmp_path, segments_basic, small_cfg)
         got[got["conv_id"] != victim].reset_index(drop=True)[LOGICAL_COLS],
         exp[LOGICAL_COLS], check_dtype=False,
     )
+
+
+# ---------------------------------------------------------------- MERGE INTO
+
+def test_merge_into_update_insert(spark, tmp_path, small_cfg):
+    from sfr_ingest_pipeline_spark.table.dml import merge_into
+
+    b0 = pd.DataFrame([
+        {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "old", "tool": None,
+         "ts": pd.Timestamp("2024-01-01"), "event_seq": 1},
+        {"op": "I", "conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "keep me", "tool": "search",
+         "ts": pd.Timestamp("2024-01-01"), "event_seq": 2},
+    ])
+    root = _build(spark, tmp_path, [b0], small_cfg, "m1")
+    src = spark.createDataFrame(
+        [("c1", 0, "corrected"), ("c2", 0, "brand new")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    res = merge_into(spark, root, src, config=small_cfg)
+    assert res.committed and res.op == "merge" and res.rows_matched == 2
+
+    got = _table_pandas(spark, root)
+    by_key = {(r.conv_id, r.turn_idx): r for r in got.itertuples()}
+    # matched update: text replaced, untouched columns KEEP live values
+    assert by_key[("c1", 0)].text == "corrected"
+    assert by_key[("c1", 0)].role == "user"
+    # unmatched insert: new row, absent payload columns null
+    assert by_key[("c2", 0)].text == "brand new"
+    assert by_key[("c2", 0)].role is None or pd.isna(by_key[("c2", 0)].role)
+    # untouched key untouched
+    assert by_key[("c1", 1)].text == "keep me"
+
+
+def test_merge_into_delete_and_tombstone_revival(spark, tmp_path, small_cfg):
+    from sfr_ingest_pipeline_spark.table.dml import delete_where, merge_into
+
+    b0 = pd.DataFrame([
+        {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "a", "tool": None,
+         "ts": pd.Timestamp("2024-01-01"), "event_seq": 1},
+        {"op": "I", "conv_id": "c2", "turn_idx": 0, "role": "user",
+         "text": "b", "tool": None,
+         "ts": pd.Timestamp("2024-01-01"), "event_seq": 2},
+    ])
+    root = _build(spark, tmp_path, [b0], small_cfg, "m2")
+    delete_where(spark, root, "conv_id = 'c2'", config=small_cfg)
+
+    # WHEN MATCHED DELETE only fires on live rows; tombstoned c2 is
+    # not-matched, so with insert it REVIVES past its delete memory
+    src = spark.createDataFrame(
+        [("c1", 0, "x"), ("c2", 0, "revived")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    res = merge_into(spark, root, src, when_matched="delete",
+                     when_not_matched="insert", config=small_cfg)
+    assert res.committed
+    got = _table_pandas(spark, root)
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert ("c1", 0) not in keys, "matched row must be deleted"
+    assert ("c2", 0) in keys, "tombstoned key must revive via insert"
+    assert got.loc[got["conv_id"] == "c2", "text"].iloc[0] == "revived"
+
+
+def test_merge_into_validation(spark, tmp_path, small_cfg):
+    from sfr_ingest_pipeline_spark.table.dml import merge_into
+
+    b0 = pd.DataFrame([
+        {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "a", "tool": None,
+         "ts": pd.Timestamp("2024-01-01"), "event_seq": 1},
+    ])
+    root = _build(spark, tmp_path, [b0], small_cfg, "m3")
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(spark, root, spark.createDataFrame([("x",)], ["text"]),
+                   config=small_cfg)
+    with pytest.raises(ValueError, match="not in the table"):
+        merge_into(
+            spark, root,
+            spark.createDataFrame([("c1", 0, "y")], ["conv_id", "turn_idx", "bogus"]),
+            config=small_cfg)
+    with pytest.raises(ValueError, match="key-unique"):
+        dupsrc = spark.createDataFrame(
+            [("c1", 0, "y"), ("c1", 0, "z")], ["conv_id", "turn_idx", "text"])
+        merge_into(spark, root, dupsrc, config=small_cfg)
+    with pytest.raises(ValueError, match="no actions"):
+        merge_into(spark, root,
+                   spark.createDataFrame([("c1", 0)], ["conv_id", "turn_idx"]),
+                   when_matched=None, when_not_matched=None, config=small_cfg)
+
+
+def test_merge_into_changelog_and_late_cdc(spark, tmp_path, small_cfg):
+    from sfr_ingest_pipeline_spark.table.dml import merge_into
+
+    b0 = pd.DataFrame([
+        {"op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "v1", "tool": None,
+         "ts": pd.Timestamp("2024-01-01"), "event_seq": 1},
+    ])
+    root = _build(spark, tmp_path, [b0], small_cfg, "m4")
+    pre_sid = TranscriptTable.load(root).snapshot.snapshot_id
+    src = spark.createDataFrame(
+        [("c1", 0, "merged"), ("c9", 0, "new")],
+        ["conv_id", "turn_idx", "text"])
+    merge_into(spark, root, src, config=small_cfg)
+
+    t = TranscriptTable.load(root)
+    ch = t.changes_between(spark, pre_sid).toPandas()
+    types = dict(zip(zip(ch["conv_id"], ch["turn_idx"]), ch["_change_type"]))
+    assert types == {("c1", 0): "update", ("c9", 0): "insert"}
+    # marker carried; a late CDC event older than the merge loses LWW
+    assert t.last_batch_id == 0
+    late = pd.DataFrame([
+        {"op": "U", "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "late", "tool": None,
+         "ts": pd.Timestamp("2024-01-02"), "event_seq": 5},
+    ])
+    apply_batch(spark, root, spark.createDataFrame(late), 1, config=small_cfg)
+    got = _table_pandas(spark, root)
+    assert got.loc[got["conv_id"] == "c1", "text"].iloc[0] == "merged"
