@@ -403,6 +403,51 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Write-audit-publish staging branches (table/branch.py): --create
+    returns the branch ROOT, which every other command accepts as --table
+    (replay/scan/verify run on the branch unmodified); --publish is the
+    atomic fast-forward of main to the audited head."""
+    from sfr_ingest_pipeline_spark.table import branch as br
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        CommitConflictError,
+    )
+
+    if args.create:
+        try:
+            broot = br.create_branch(args.table, args.create, args.snapshot)
+        except FileExistsError:
+            print(json.dumps({"error": f"branch {args.create!r} already "
+                              "exists"}), file=sys.stderr)
+            return 2
+        print(json.dumps({"branch": args.create, "root": broot}))
+        return 0
+    if args.publish:
+        try:
+            t = br.publish_branch(args.table, args.publish, drop=args.drop_after)
+        except CommitConflictError as e:
+            print(json.dumps({"error": str(e), "conflict": True}),
+                  file=sys.stderr)
+            return 3
+        print(json.dumps({"published": args.publish,
+                          "snapshot_id": t.snapshot.snapshot_id,
+                          "last_batch_id": t.last_batch_id}))
+        return 0
+    if args.drop:
+        try:
+            br.drop_branch(args.table, args.drop)
+        except FileNotFoundError:
+            print(json.dumps({"error": f"no such branch: {args.drop}"}),
+                  file=sys.stderr)
+            return 2
+        print(json.dumps({"dropped": args.drop}))
+        return 0
+    for name, meta in br.list_branches(args.table).items():
+        print(json.dumps({"branch": name, **meta,
+                          "root": br.branch_root(args.table, name)}))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Metadata tables (Iceberg snapshots/files/partitions parity) as JSON
     lines — zero data I/O, manifests + snapshot log only."""
@@ -601,6 +646,22 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--delete", metavar="NAME")
     tg.add_argument("--list", action="store_true")
     tg.set_defaults(fn=cmd_tag)
+
+    br = sub.add_parser("branch",
+                        help="write-audit-publish staging branches")
+    br.add_argument("--table", required=True,
+                    help="MAIN table root (not a branch root)")
+    br.add_argument("--create", metavar="NAME")
+    br.add_argument("--snapshot", type=int, default=None,
+                    help="fork point for --create (default: current head)")
+    br.add_argument("--publish", metavar="NAME",
+                    help="fast-forward main to the branch head (atomic)")
+    br.add_argument("--drop-after", action="store_true",
+                    help="drop the branch after a successful --publish")
+    br.add_argument("--drop", metavar="NAME",
+                    help="abort a branch; staged files GC at next expire")
+    br.add_argument("--list", action="store_true")
+    br.set_defaults(fn=cmd_branch)
 
 
     c = sub.add_parser("compact", help="compact delta files into base files")

@@ -89,9 +89,25 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     reader whose snapshot is expired gets a deterministic
     ``SnapshotExpiredError`` at its next scan, never a silent read of a
     half-GC'd file set. Size ``keep_last`` above the longest reader's
-    lifetime in commits (tests/test_maintenance.py pins both behaviors)."""
+    lifetime in commits (tests/test_maintenance.py pins both behaviors).
+
+    Staging branches (table/branch.py): every file or manifest ANY live
+    branch references is retained regardless of ``keep_last`` — an audit
+    in progress must never lose its staged files; dropping the branch
+    releases them. Running expire ON a branch root is refused: its data
+    namespace belongs to the parent table, so the 'unreferenced' set it
+    would compute there is wrong by construction."""
+    from sfr_ingest_pipeline_spark.table.branch import (
+        branch_referenced,
+        is_branch_root,
+    )
     from sfr_ingest_pipeline_spark.table.transcript_table import list_tags
 
+    if is_branch_root(table_root):
+        raise ValueError(
+            "expire_snapshots on a staging branch root is not allowed; "
+            "run it on the parent table (branch refs are retained there)"
+        )
     table = TranscriptTable.load(table_root)
     current = table.snapshot.snapshot_id
     keep_ids = set(range(max(1, current - keep_last + 1), current + 1))
@@ -101,8 +117,9 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     tagged = {int(v["snapshot_id"]) for v in list_tags(table_root).values()}
     keep_ids |= tagged
 
-    referenced: set[str] = set()
-    referenced_manifests: set[str] = set()
+    # live staging branches pin their whole referenced set (data files AND
+    # manifests, fork history included) for as long as the audit runs
+    referenced, referenced_manifests = branch_referenced(table_root)
     kept, dropped_meta = 0, 0
     for snap in table.history():
         if snap.snapshot_id in keep_ids:

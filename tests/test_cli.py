@@ -178,3 +178,50 @@ def test_cli_merge_into(spark, tmp_path, capsys):
         (live.conv_id == one.conv_id) & (live.turn_idx == one.turn_idx)
         & (live.text == "merged text")).count() == 1
     assert live.filter("conv_id = 'conv-brand-new'").count() == 1
+
+
+def test_cli_wap_branch_workflow(spark, tmp_path, capsys):
+    """CLI write-audit-publish: wave 1 lands on main; wave 2 is staged on
+    a branch root through the SAME replay command + checkpoint; main stays
+    frozen until `branch --publish`, after which `verify` over the full
+    binlog is exact — the staged commits became main's history atomically."""
+    import glob
+    import shutil
+
+    from sfr_ingest_pipeline_spark.generator import fast_binlog
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    b = str(tmp_path / "binlog")
+    t = str(tmp_path / "table")
+    ck = str(tmp_path / "ckpt")
+    fast_binlog(b, n_events=2000, n_segments=2, n_conversations=50, seed=21)
+    rc, _, _ = _run(capsys, "replay", "--binlog", b, "--table", t,
+                    "--checkpoint", ck, "--buckets", "4")
+    assert rc == 0
+    rows_main = TranscriptTable.load(t).scan(spark).count()
+
+    rc, out, _ = _run(capsys, "branch", "--table", t, "--create", "audit")
+    assert rc == 0
+    broot = json.loads(out[-1])["root"]
+
+    w2 = str(tmp_path / "w2")
+    fast_binlog(w2, n_events=1000, n_segments=1, n_conversations=50, seed=22,
+                seq_offset=10_000, ts_offset_us=10_000_000_000)
+    for i, f in enumerate(sorted(glob.glob(f"{w2}/segment-*.parquet"))):
+        shutil.move(f, f"{b}/segment-{100 + i:06d}.parquet")
+    rc, out, _ = _run(capsys, "replay", "--binlog", b, "--table", broot,
+                      "--checkpoint", ck, "--buckets", "4")
+    assert rc == 0 and json.loads(out[-1])["rows_in"] >= 1000
+
+    # audit gate: main frozen, branch readable via the ordinary scan/verify
+    assert TranscriptTable.load(t).scan(spark).count() == rows_main
+    rc, out, _ = _run(capsys, "verify", "--table", broot, "--binlog", b)
+    assert rc == 0 and json.loads(out[-1])["ok"]
+
+    rc, out, _ = _run(capsys, "branch", "--table", t, "--publish", "audit",
+                      "--drop-after")
+    assert rc == 0 and json.loads(out[-1])["published"] == "audit"
+    rc, out, _ = _run(capsys, "verify", "--table", t, "--binlog", b)
+    assert rc == 0 and json.loads(out[-1])["ok"]
+    rc, out, _ = _run(capsys, "branch", "--table", t, "--list")
+    assert rc == 0 and out == []
