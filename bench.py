@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "fuzzy_part_pairs",
     "tfidf_top_terms",
     "cross_doc_ngram_dup",
+    "pii_redaction",
 ]
 
 

@@ -532,6 +532,44 @@ def cmd_merge(args) -> int:
     return 0
 
 
+@_maintenance_guard
+def cmd_scrub(args) -> int:
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.table.scrub import (
+        residual_pii_files,
+        scrub_pii,
+    )
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    cols = tuple(args.column or ["text"])
+    if args.audit_only:
+        offenders = residual_pii_files(spark, args.table, columns=cols)
+        print(json.dumps({"op": "scrub_audit", "clean": not offenders,
+                          "offending_files": offenders}))
+        return 0 if not offenders else 1
+    try:
+        res = scrub_pii(
+            spark, args.table, columns=cols,
+            predicate=args.where,
+            conv_ids=args.conv_id or None,
+            expire=args.expire, keep_last=args.keep_last,
+            ts_us=_parse_ts_us(args.ts) if args.ts else None,
+            config=cfg,
+        )
+    except ValueError as e:
+        print(json.dumps({"error": "erasure_pinned", "detail": str(e)}))
+        return 3
+    if args.expire:
+        offenders = residual_pii_files(spark, args.table, columns=cols)
+        res["audit_clean"] = not offenders
+        print(json.dumps(res))
+        return 0 if not offenders else 1
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_view_refresh(args) -> int:
     """Advance the incrementally-maintained rollup view to the table's
     current snapshot; prints the refresh counters as one JSON line."""
@@ -754,6 +792,26 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--ts", help="logical update time (us or ISO-8601; default now)")
     _add_spark_args(up)
     up.set_defaults(fn=cmd_update)
+
+    sc = sub.add_parser(
+        "scrub",
+        help="GDPR PII scrub: redact text columns in place; with --expire "
+             "also compact every bucket + GC history so the raw bytes "
+             "leave disk, then self-audit (exit 1 if residue remains)",
+    )
+    sc.add_argument("--table", required=True)
+    sc.add_argument("--column", action="append",
+                    help="string column to redact (repeatable; default text)")
+    sc.add_argument("--where", help="override the default any-PII predicate")
+    sc.add_argument("--conv-id", action="append")
+    sc.add_argument("--ts", help="logical update time (us or ISO-8601; default now)")
+    sc.add_argument("--expire", action="store_true",
+                    help="erasure mode: compact all buckets + expire history")
+    sc.add_argument("--keep-last", type=int, default=1)
+    sc.add_argument("--audit-only", action="store_true",
+                    help="only run the residual-PII file audit")
+    _add_spark_args(sc)
+    sc.set_defaults(fn=cmd_scrub)
 
     mg = sub.add_parser(
         "merge",

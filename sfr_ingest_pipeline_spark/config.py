@@ -61,6 +61,13 @@ class EngineConfig:
     # enabling this trims them BEFORE they cost shuffle bytes — worth it
     # when the transport redelivers a few percent at 10^10 events/day.
     source_dedup_horizon: str | None = None
+    # Ingest-time PII redaction (functions/pii.py): scrub email/SSN/phone/
+    # IPv4 from `text` INSIDE the merge projection, after normalization,
+    # on the O(keys) winner rows — so raw PII never reaches a data file
+    # and no later GDPR rewrite is needed for the covered patterns. Pure
+    # codegen (chained regexp_replace), idempotent (redacted text can't
+    # re-match), so MoR carried-forward rows are safe to re-redact.
+    redact_pii: bool = False
     compact_delta_files: int = 8
     target_file_rows: int = 2_000_000
     lww_two_phase_threshold: int = 100_000

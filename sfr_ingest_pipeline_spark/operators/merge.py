@@ -404,6 +404,11 @@ def apply_batch(
     if normalize and "text" in out.columns:
         # idempotent -> safe on carried-forward target rows too
         out = out.withColumn("text", normalize_text_udf("text"))
+    if config.redact_pii and "text" in out.columns:
+        # after normalize, mirroring the oracle; idempotent like it
+        from sfr_ingest_pipeline_spark.functions.pii import redact_pii
+
+        out = out.withColumn("text", redact_pii("text"))
 
     commit_rel = f"data/snap-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
     out_dir = f"{table.root}/{commit_rel}"

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sfr_ingest_pipeline_spark.functions import dedup as D
+from sfr_ingest_pipeline_spark.functions import pii as PII
 from sfr_ingest_pipeline_spark.functions import text as TX
 from sfr_ingest_pipeline_spark.functions import vector as V
 from sfr_ingest_pipeline_spark.functions.multimodal import (
@@ -1845,3 +1846,55 @@ ORACLE_SQL.update({
         GROUP BY doc_id
     """,
 })
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction (functions/pii.py, F10): scrubbing contact data
+# out of conversation logs before a training corpus is as routine as dedup.
+# The synthetic line is built from ONE dialect-shared SQL template (no
+# backslashes, `||`/lpad/CAST only) so Spark and DuckDB feed byte-identical
+# text into their respective regex engines; the patterns themselves are
+# restricted to the Java-regex ∩ RE2 ∩ Python-`re` subset (pii.py docstring)
+# so the redaction output is hash-exact, not approximate.
+_PII_LINE = (
+    "'Reach ' || lower(c_name) || '@example.com or call '"
+    " || CAST(10 + c_nationkey AS STRING)"
+    " || '-' || lpad(CAST((c_custkey * 37) % 1000 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST((c_custkey * 53) % 1000 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST((c_custkey * 91) % 10000 AS STRING), 4, '0')"
+    " || ' (ssn ' || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST(c_custkey % 100 AS STRING), 2, '0')"
+    " || '-' || lpad(CAST((c_custkey * 7) % 10000 AS STRING), 4, '0')"
+    " || ', ip 10.' || CAST(c_nationkey AS STRING) || '.0.'"
+    " || CAST(c_custkey % 256 AS STRING) || ')'"
+)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """Chained PII redaction + per-kind counts over a synthetic contact
+    line per customer (functions/pii.py). Whole-stage-codegen projection —
+    no UDF, no shuffle: at 100 TB this runs at parquet-scan speed."""
+    cust = _t(spark, sf_dir, "customer").withColumn("line", F.expr(_PII_LINE))
+    return cust.select(
+        "c_custkey",
+        PII.redact_pii("line").alias("redacted"),
+        PII.pii_count("line", "email").alias("n_email"),
+        PII.pii_count("line", "ssn").alias("n_ssn"),
+        PII.pii_count("line", "phone").alias("n_phone"),
+        PII.pii_count("line", "ipv4").alias("n_ipv4"),
+    )
+
+
+QUERIES["pii_redaction"] = q_pii_redaction
+ORACLE_SQL["pii_redaction"] = f"""
+    WITH lines AS (
+        SELECT c_custkey, {_PII_LINE} AS line FROM customer
+    )
+    SELECT c_custkey,
+           {PII.redact_pii_sql('line', 'duckdb')} AS redacted,
+           {PII.pii_count_sql('line', 'email', 'duckdb')} AS n_email,
+           {PII.pii_count_sql('line', 'ssn', 'duckdb')} AS n_ssn,
+           {PII.pii_count_sql('line', 'phone', 'duckdb')} AS n_phone,
+           {PII.pii_count_sql('line', 'ipv4', 'duckdb')} AS n_ipv4
+    FROM lines
+"""

@@ -155,5 +155,9 @@ def replay_batch(
         # not touch the key or order columns (the merge path does the same,
         # operators/merge.py)
         winners = winners.withColumn("text", normalize_text_udf("text"))
+    if config.redact_pii:
+        from sfr_ingest_pipeline_spark.functions.pii import redact_pii
+
+        winners = winners.withColumn("text", redact_pii("text"))
     out = winners.filter(F.col("op") != "D").drop("op")
     return out.orderBy(*config.key_cols)
