@@ -570,6 +570,27 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Chained CDC: advance (or create) the replica at --dst from the
+    changelog of --src; with --verify, independently check convergence."""
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.table.sync import sync_table, verify_replica
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    out = sync_table(
+        spark, args.src, args.dst, config=cfg,
+        step=args.step, max_spans=args.max_spans,
+    )
+    if args.verify:
+        out["verify"] = verify_replica(spark, args.src, args.dst)
+        print(json.dumps(out))
+        return 0 if out["verify"]["ok"] else 1
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_view_refresh(args) -> int:
     """Advance the incrementally-maintained rollup view to the table's
     current snapshot; prints the refresh counters as one JSON line."""
@@ -792,6 +813,20 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--ts", help="logical update time (us or ISO-8601; default now)")
     _add_spark_args(up)
     up.set_defaults(fn=cmd_update)
+
+    sy = sub.add_parser(
+        "sync",
+        help="chained CDC: replicate --src into --dst incrementally from "
+             "the source changelog (bootstrap on first run; exactly-once "
+             "per span); --verify cross-checks replica == source",
+    )
+    sy.add_argument("--src", required=True)
+    sy.add_argument("--dst", required=True)
+    sy.add_argument("--step", choices=["net", "per_commit"], default="net")
+    sy.add_argument("--max-spans", type=int, default=None)
+    sy.add_argument("--verify", action="store_true")
+    _add_spark_args(sy)
+    sy.set_defaults(fn=cmd_sync)
 
     sc = sub.add_parser(
         "scrub",

@@ -61,13 +61,17 @@ class ChangelogTail:
         cursor_dir: str,
         pre_post: bool = False,
         step: str = "net",
+        with_meta: bool = False,
     ):
         if step not in ("net", "per_commit"):
             raise ValueError(f"step must be 'net' or 'per_commit', got {step!r}")
+        if pre_post and with_meta:
+            raise ValueError("pre_post and with_meta are mutually exclusive")
         self.table_root = table_root
         self.cursor_dir = cursor_dir
         self.pre_post = pre_post
         self.step = step
+        self.with_meta = with_meta
         os.makedirs(cursor_dir, exist_ok=True)
 
     # ------------------------------------------------------------- cursor
@@ -103,7 +107,9 @@ class ChangelogTail:
         if cur >= head:
             return None
         to_id = head if self.step == "net" else self._next_step(table, cur, head)
-        df = table.changes_between(spark, cur, to_id, pre_post=self.pre_post)
+        df = table.changes_between(
+            spark, cur, to_id, pre_post=self.pre_post, with_meta=self.with_meta
+        )
         return ChangeBatch(cur, to_id, df, self)
 
     def seek(self, snapshot_id: int) -> None:

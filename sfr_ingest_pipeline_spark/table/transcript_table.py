@@ -631,6 +631,7 @@ class TranscriptTable:
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
         pre_post: bool = False,
+        with_meta: bool = False,
     ) -> DataFrame:
         """Incremental changelog scan (Iceberg-CDC analog): the NET per-key
         changes between two committed snapshots, as rows tagged
@@ -664,7 +665,23 @@ class TranscriptTable:
         old-vs-new null-safe payload compare drops them. Additive schema
         evolution between the snapshots null-fills the old side to the new
         logical schema.
+
+        ``with_meta=True`` (the replication feed, ``table/sync.py``) emits
+        the SAME change set annotated with the LWW order a downstream
+        replica must apply each change at: ``event_seq`` — the new winner's
+        sequence (for deletes: the tombstone's own sequence, i.e. the
+        delete event's; when the key vanished with no tombstone — a
+        rollback in range — the old winner's sequence + 1, a synthetic
+        order no real event preceded) — and ``_delete_ts``, the delete
+        event's timestamp (null on insert/update; delete rows keep the OLD
+        payload per the changelog contract, so the delete's own order must
+        travel out of band). Applying each row as an upsert/delete at
+        exactly that order makes a replica converge to the source's
+        logical state, with re-applied spans dying on the state-wins-ties
+        rule. Mutually exclusive with ``pre_post``.
         """
+        if pre_post and with_meta:
+            raise ValueError("pre_post and with_meta are mutually exclusive")
         new_t = (
             self if to_snapshot_id is None
             else TranscriptTable.load(self.root, to_snapshot_id)
@@ -679,6 +696,14 @@ class TranscriptTable:
         empty = T.StructType(
             [f for f in logical.fields]
             + [T.StructField("_change_type", T.StringType())]
+            + (
+                [
+                    T.StructField("event_seq", T.LongType()),
+                    T.StructField("_delete_ts", T.TimestampType()),
+                ]
+                if with_meta
+                else []
+            )
         )
         if not added:
             return spark.createDataFrame([], empty)
@@ -709,27 +734,97 @@ class TranscriptTable:
                 df = resolve_stored_versions(
                     df, list(t.snapshot.key_cols), t.snapshot.order_cols
                 )
-            df = df.filter(~F.col("_deleted")).drop(*META_COLS)
+            if with_meta:
+                # keep tombstones: a delete change's apply-order is the
+                # tombstone's own (ts, event_seq)
+                df = df.drop("_del_hw")
+            else:
+                df = df.filter(~F.col("_deleted")).drop(*META_COLS)
             have = set(df.columns)
             return df.select(
                 *[
                     F.col(f.name) if f.name in have
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in logical.fields
-                ]
+                ],
+                *([F.col("event_seq"), F.col("_deleted")] if with_meta else []),
             )
         new_state = _aligned_state(new_t)
         old_state = _aligned_state(old_t)
 
+        meta_n = (
+            [
+                F.col("event_seq").alias("_seq_n"),
+                F.col("_deleted").alias("_dead_n"),
+            ]
+            if with_meta
+            else []
+        )
+        meta_o = (
+            [
+                F.col("event_seq").alias("_seq_o"),
+                F.col("_deleted").alias("_dead_o"),
+            ]
+            if with_meta
+            else []
+        )
         n = new_state.select(
             *key_cols,
             F.struct(*[F.col(c) for c in payload]).alias("_new"),
+            *meta_n,
         )
         o = old_state.select(
             *key_cols,
             F.struct(*[F.col(c) for c in payload]).alias("_old"),
+            *meta_o,
         )
         joined = n.join(o, key_cols, "full_outer")
+        if with_meta:
+            # a row exists iff its side's struct is non-null; "live" also
+            # requires it not be a tombstone version
+            old_live = F.col("_old").isNotNull() & ~F.coalesce(
+                F.col("_dead_o"), F.lit(True)
+            )
+            new_live = F.col("_new").isNotNull() & ~F.coalesce(
+                F.col("_dead_n"), F.lit(True)
+            )
+            typed = joined.withColumn(
+                "_change_type",
+                F.when(new_live & ~old_live, "insert")
+                .when(old_live & ~new_live, "delete")
+                .when(
+                    old_live
+                    & new_live
+                    & ~F.col("_new").eqNullSafe(F.col("_old")),
+                    "update",
+                ),
+            ).filter(change_col.isNotNull())
+            tomb = F.col("_new").isNotNull() & F.col("_dead_n")
+            seq = F.when(
+                change_col == "delete",
+                F.when(tomb, F.col("_seq_n")).otherwise(
+                    F.col("_seq_o") + F.lit(1)
+                ),
+            ).otherwise(F.col("_seq_n"))
+            if "ts" in payload:
+                del_ts = F.when(
+                    change_col == "delete",
+                    F.when(tomb, F.col("_new").getField("ts")).otherwise(
+                        F.col("_old").getField("ts")
+                    ),
+                )
+            else:  # pragma: no cover - transcript schemas always carry ts
+                del_ts = F.lit(None).cast("timestamp")
+            carrier = F.when(change_col == "delete", F.col("_old")).otherwise(
+                F.col("_new")
+            )
+            return typed.select(
+                *key_cols,
+                *[carrier.getField(c).alias(c) for c in payload],
+                change_col,
+                seq.cast("long").alias("event_seq"),
+                del_ts.cast("timestamp").alias("_delete_ts"),
+            )
         typed = joined.withColumn(
             "_change_type",
             F.when(F.col("_old").isNull() & F.col("_new").isNotNull(), "insert")
