@@ -123,6 +123,8 @@ def main() -> int:
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
         merge_mode=os.environ.get("BENCH_MERGE_MODE", "mor"),
         compact_delta_files=1,   # compaction fires mid-run -> amortized-honest
+        # BENCH_NO_BLOOM=1 for the A/B of per-file bloom harvest cost
+        file_bloom_fpp=None if os.environ.get("BENCH_NO_BLOOM") else 0.01,
     )
 
     # warmup: tiny replay to absorb one-time JVM codegen + Python-worker

@@ -68,6 +68,13 @@ class EngineConfig:
     # codegen (chained regexp_replace), idempotent (redacted text can't
     # re-match), so MoR carried-forward rows are safe to re-redact.
     redact_pii: bool = False
+    # Per-data-file conv_id Bloom filters (table/bloom.py): built at
+    # harvest time from each file's dictionary pages, probed at merge/DML
+    # time when the batch's distinct conv set is small enough to collect
+    # (<= bloom_probe_rows) — the scattered-point-correction workload the
+    # range envelope can't prune. None disables build; 0 disables probing.
+    file_bloom_fpp: float | None = 0.01
+    bloom_probe_rows: int = 5000
     compact_delta_files: int = 8
     target_file_rows: int = 2_000_000
     lww_two_phase_threshold: int = 100_000

@@ -316,6 +316,28 @@ def apply_batch(
     # batches; uniform-random batches touch every file and prune nothing.)
     bucket_files = table.files_in_buckets(set(touched))
     no_prune = compact if config.merge_mode == "mor" else set()
+
+    # Bloom point-probe (table/bloom.py): when the batch's distinct conv
+    # set is small (point corrections, conv-localized late events), collect
+    # it and test each candidate file's filter — prunes the scattered case
+    # the range envelope can't. The extra collect is bounded by
+    # bloom_probe_rows; big batches skip it (every file would probably hit
+    # anyway, so pruning is impossible regardless of mechanism).
+    probe_hashes: dict[int, list] | None = None
+    bloom_reader = None
+    if (
+        config.bloom_probe_rows
+        and rows_in <= config.bloom_probe_rows
+        and any(f.bloom_path for f in bucket_files)
+    ):
+        from sfr_ingest_pipeline_spark.table.bloom import BloomReader, hash_keys
+
+        by_bucket: dict[int, set] = {}
+        for r in bucketed.select("_bucket", "conv_id").distinct().collect():
+            by_bucket.setdefault(r["_bucket"], set()).add(r["conv_id"])
+        probe_hashes = {b: hash_keys(cs) for b, cs in by_bucket.items()}
+        bloom_reader = BloomReader(table.root)
+
     read_files, carried = [], []
     for f in bucket_files:
         mn, mx = ranges[f.bucket]
@@ -323,6 +345,10 @@ def apply_batch(
             (f.conv_id_max is not None and f.conv_id_max < mn)
             or (f.conv_id_min is not None and f.conv_id_min > mx)
         )
+        if intersects and probe_hashes is not None and f.bucket not in no_prune:
+            intersects = bloom_reader.may_contain_any(
+                f, probe_hashes.get(f.bucket, ())
+            )
         if f.bucket in no_prune or intersects:
             read_files.append(f)
         else:
@@ -444,6 +470,7 @@ def apply_batch(
     new_files = table.harvest_files(
         commit_rel,
         kind_for_bucket=lambda b: "base" if b in compact else "delta",
+        bloom_fpp=config.file_bloom_fpp,
     )
     lineage = _lineage(table, set(touched), replace_buckets, new_files,
                        carry_paths)

@@ -142,10 +142,17 @@ def _pruned_files(
     buckets = {bucket_of(c, table.n_buckets) for c in conv_ids}
     in_buckets = table.files_in_buckets(buckets)
     lo, hi = min(conv_ids), max(conv_ids)
+    # range envelope, then per-file Bloom point-probe (table/bloom.py) —
+    # the caller named the exact conversations, so the probe set is free
+    from sfr_ingest_pipeline_spark.table.bloom import BloomReader, hash_keys
+
+    reader = BloomReader(table.root)
+    hashed = hash_keys(conv_ids)
     files = [
         f for f in in_buckets
         if (f.conv_id_max is None or f.conv_id_max >= lo)
         and (f.conv_id_min is None or f.conv_id_min <= hi)
+        and reader.may_contain_any(f, hashed)
     ]
     return files, len(table.files) - len(files)
 

@@ -8,6 +8,7 @@ never make a replayed batch look new again (exactly-once invariant)."""
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -148,11 +149,33 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
             if fn.endswith(".json") and rel not in referenced_manifests:
                 os.remove(os.path.join(mdir, fn))
                 dropped_manifests += 1
+    # Bloom sidecars (table/bloom.py): a blob lives exactly as long as some
+    # retained manifest (branch-pinned included) references it
+    referenced_blooms: set[str] = set()
+    for mf_rel in referenced_manifests:
+        try:
+            with open(os.path.join(table_root, mf_rel), encoding="utf-8") as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            continue
+        for fds in raw.values():
+            for fd in fds:
+                if fd.get("bloom_path"):
+                    referenced_blooms.add(fd["bloom_path"])
+    dropped_blooms = 0
+    bdir = os.path.join(table_root, "metadata", "blooms")
+    if os.path.isdir(bdir):
+        for fn in os.listdir(bdir):
+            rel = "/".join(["metadata", "blooms", fn])
+            if rel not in referenced_blooms:
+                os.remove(os.path.join(bdir, fn))
+                dropped_blooms += 1
     return {
         "kept_snapshots": kept,
         "dropped_snapshots": dropped_meta,
         "dropped_data_files": dropped_files,
         "dropped_manifests": dropped_manifests,
+        "dropped_blooms": dropped_blooms,
     }
 
 
