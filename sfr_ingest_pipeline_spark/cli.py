@@ -115,6 +115,7 @@ def cmd_replay(args) -> int:
         column_merge=args.column_merge,
         source_dedup_horizon=args.source_dedup_horizon,
         compact_delta_files=args.compact_delta_files,
+        quarantine_dir=args.quarantine_dir,
     )
     schema = CHANGE_EVENT_SCHEMA_V2 if args.v2_schema else CHANGE_EVENT_SCHEMA
     t0 = time.time()
@@ -141,6 +142,7 @@ def cmd_replay(args) -> int:
         # buckets the merge did NOT have to read; see operators/merge.py)
         "files_read": sum(r.files_read for r in results),
         "files_pruned": sum(r.files_pruned for r in results),
+        "events_quarantined": sum(r.events_quarantined for r in results),
         "sec": round(wall, 2),
         "events_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
     }
@@ -658,6 +660,10 @@ def main(argv: list[str] | None = None) -> int:
                         "MERGE; converged state is unchanged")
     r.add_argument("--max-files-per-trigger", type=int, default=None)
     r.add_argument("--v2-schema", action="store_true")
+    r.add_argument("--quarantine-dir", default=None,
+                   help="dead-letter sink: route malformed events (bad op, "
+                        "null key/order) to <dir>/batch-N/ with a "
+                        "_reject_reason instead of failing the stream")
     _add_spark_args(r)
     r.set_defaults(fn=cmd_replay)
 

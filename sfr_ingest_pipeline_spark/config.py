@@ -75,6 +75,12 @@ class EngineConfig:
     # range envelope can't prune. None disables build; 0 disables probing.
     file_bloom_fpp: float | None = 0.01
     bloom_probe_rows: int = 5000
+    # Dead-letter sink (operators/merge.py _quarantine_invalid): malformed
+    # events (bad op code, null key, null LWW order) are written to
+    # <quarantine_dir>/batch-<id>/ with a _reject_reason instead of
+    # poisoning the table or failing the stream. None (default) skips
+    # validation entirely — zero cost when the transport is trusted.
+    quarantine_dir: str | None = None
     compact_delta_files: int = 8
     target_file_rows: int = 2_000_000
     lww_two_phase_threshold: int = 100_000
