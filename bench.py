@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "cross_doc_ngram_dup",
     "pii_redaction",
+    "repetition_stats",
 ]
 
 

@@ -1898,3 +1898,98 @@ ORACLE_SQL["pii_redaction"] = f"""
            {PII.pii_count_sql('line', 'ipv4', 'duckdb')} AS n_ipv4
     FROM lines
 """
+
+
+# --------------------------------------------------------------------------
+# Repetition quality stats (Gopher-style filtering rules): duplicate-word
+# and duplicate-bigram fractions are the standard "is this document
+# degenerate boilerplate?" signals a training-corpus pipeline gates on.
+# Linear shape: explode -> two-stage hash agg (map-side partial combine),
+# never the O(words^2) array-only formulation — at 100 TB a long document
+# must cost O(len), and the per-(doc, gram) agg shuffles once.
+def q_repetition_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("ws"),
+    )
+    uni = (
+        w.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word").count()
+        .groupBy("doc_id").agg(
+            F.sum("count").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("count").alias("top_cnt"),
+        )
+    )
+    bg = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram").count()
+        .groupBy("doc_id").agg(
+            F.sum("count").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bg"),
+        )
+    )
+    return (
+        uni.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("n_distinct") / F.col("n_words"), 6)
+            .alias("distinct_word_ratio"),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6)
+            .alias("top_word_frac"),
+            F.round(
+                (F.col("n_bigrams") - F.col("n_distinct_bg"))
+                / F.col("n_bigrams"), 6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+QUERIES["repetition_stats"] = q_repetition_stats
+ORACLE_SQL["repetition_stats"] = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), uni AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        GROUP BY doc_id, word
+    ), unistats AS (
+        SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+               max(c) AS top_cnt
+        FROM uni GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])) AS bigram
+            FROM w
+        )
+        GROUP BY doc_id, bigram
+    ), bgstats AS (
+        SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bg
+        FROM bg GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_words AS BIGINT) AS n_words,
+           round(CAST(u.n_distinct AS DOUBLE) / u.n_words, 6)
+               AS distinct_word_ratio,
+           round(CAST(u.top_cnt AS DOUBLE) / u.n_words, 6) AS top_word_frac,
+           round(CAST(b.n_bigrams - b.n_distinct_bg AS DOUBLE) / b.n_bigrams, 6)
+               AS dup_bigram_frac
+    FROM unistats u JOIN bgstats b USING (doc_id)
+"""
