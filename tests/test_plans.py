@@ -216,3 +216,28 @@ def test_round3_queries_prune_scans(spark):
     assert read_schema_columns(q_date_ranges(spark, SF)) == [
         ["o_orderkey", "o_orderdate"]
     ]
+
+
+def test_pii_redaction_no_shuffle_no_udf(spark):
+    """PII redaction is chained regexp_replace: one codegen projection —
+    no exchange, no Python eval (functions/pii.py)."""
+    from sfr_ingest_pipeline_spark.plans import explain_str
+    from sfr_ingest_pipeline_spark.queries import q_pii_redaction
+
+    plan = explain_str(q_pii_redaction(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_partial_agg_no_cartesian(spark):
+    """repetition_stats must keep the linear explode->two-stage-agg shape:
+    map-side partial aggregation present, no cartesian, no Python eval."""
+    from sfr_ingest_pipeline_spark.queries import q_repetition_stats
+
+    df = q_repetition_stats(spark, SF)
+    assert has_partial_aggregate(df)
+    assert not has_cartesian_product(df)
+    from sfr_ingest_pipeline_spark.plans import explain_str
+
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
