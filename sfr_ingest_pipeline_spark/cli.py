@@ -572,6 +572,35 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc Spark SQL over the table (registered as view `transcripts`,
+    resolved snapshot honoring --as-of-batch/--as-of-ts/--tag) — the
+    engine's answer to "just let me query it"; rows stream out as JSON
+    lines without collecting the result on the driver."""
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        TranscriptTable,
+        load_tag,
+    )
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.tag is not None:
+        table = load_tag(args.table, args.tag)
+    else:
+        table = TranscriptTable.load(args.table)
+    if args.as_of_batch is not None:
+        table = table.load_snapshot_as_of_batch(args.as_of_batch)
+    if args.as_of_ts is not None:
+        table = table.load_snapshot_as_of_timestamp(_parse_ts_us(args.as_of_ts))
+    table.scan(spark, with_meta=args.with_meta).createOrReplaceTempView(
+        "transcripts"
+    )
+    df = spark.sql(args.query)
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Chained CDC: advance (or create) the replica at --dst from the
     changelog of --src; with --verify, independently check convergence."""
@@ -819,6 +848,21 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--ts", help="logical update time (us or ISO-8601; default now)")
     _add_spark_args(up)
     up.set_defaults(fn=cmd_update)
+
+    sq = sub.add_parser(
+        "sql",
+        help="ad-hoc Spark SQL over the table (view name: transcripts); "
+             "honors --as-of-batch/--as-of-ts/--tag time travel",
+    )
+    sq.add_argument("--table", required=True)
+    sq.add_argument("query")
+    sq.add_argument("--as-of-batch", type=int, default=None)
+    sq.add_argument("--as-of-ts", default=None)
+    sq.add_argument("--tag", default=None)
+    sq.add_argument("--with-meta", action="store_true",
+                    help="expose event_seq/_deleted/_del_hw raw versions")
+    _add_spark_args(sq)
+    sq.set_defaults(fn=cmd_sql)
 
     sy = sub.add_parser(
         "sync",

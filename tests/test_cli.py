@@ -225,3 +225,28 @@ def test_cli_wap_branch_workflow(spark, tmp_path, capsys):
     assert rc == 0 and json.loads(out[-1])["ok"]
     rc, out, _ = _run(capsys, "branch", "--table", t, "--list")
     assert rc == 0 and out == []
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    """Ad-hoc SQL over the table view, with time travel parity."""
+    b, t, ck = (str(tmp_path / x) for x in ("binlog", "table", "ckpt"))
+    _run(capsys, "generate", "--out", b, "--events", "2000",
+         "--segments", "2", "--conversations", "50")
+    _run(capsys, "replay", "--binlog", b, "--table", t,
+         "--checkpoint", ck, "--buckets", "4")
+    rc, out, _ = _run(
+        capsys, "sql", "--table", t,
+        "SELECT count(*) AS n, count(DISTINCT conv_id) AS convs "
+        "FROM transcripts",
+    )
+    assert rc == 0
+    row = json.loads(out[-1])
+    assert row["n"] > 0 and 0 < row["convs"] <= 50
+
+    # SQL at a past batch equals scan at that batch
+    rc, out, _ = _run(capsys, "sql", "--table", t, "--as-of-batch", "0",
+                      "SELECT count(*) AS n FROM transcripts")
+    n_past = json.loads(out[-1])["n"]
+    rc, out, _ = _run(capsys, "scan", "--table", t, "--as-of-batch", "0",
+                      "--limit", "0")
+    assert n_past == len(out)
