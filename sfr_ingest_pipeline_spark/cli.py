@@ -601,6 +601,44 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    """WAL-subscriber surface: consume the table's changelog from a
+    durable cursor, printing each span's change rows as JSON lines and a
+    summary line per span; the cursor advances only after a span is fully
+    printed (at-least-once, like any ChangelogTail consumer)."""
+    from sfr_ingest_pipeline_spark.streaming.tail import ChangelogTail
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    tail = ChangelogTail(
+        args.table, args.cursor_dir, pre_post=args.pre_post, step=args.step,
+    )
+    if args.seek is not None:
+        tail.seek(args.seek)
+    elif tail.cursor() is None and args.from_start:
+        from sfr_ingest_pipeline_spark.table.transcript_table import (
+            TranscriptTable,
+        )
+
+        ids = TranscriptTable._ids_on_disk(args.table)
+        tail.seek(min(ids))
+    spans = 0
+    while (batch := tail.poll(spark)) is not None:
+        n = 0
+        for line in batch.df.toJSON().toLocalIterator():
+            print(line)
+            n += 1
+        batch.commit()
+        print(json.dumps({"span": [batch.from_snapshot_id,
+                                   batch.to_snapshot_id], "rows": n}))
+        spans += 1
+        if args.max_spans is not None and spans >= args.max_spans:
+            break
+    if spans == 0:
+        print(json.dumps({"caught_up": True, "cursor": tail.cursor()}))
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Chained CDC: advance (or create) the replica at --dst from the
     changelog of --src; with --verify, independently check convergence."""
@@ -863,6 +901,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="expose event_seq/_deleted/_del_hw raw versions")
     _add_spark_args(sq)
     sq.set_defaults(fn=cmd_sql)
+
+    tl = sub.add_parser(
+        "tail",
+        help="consume the table changelog from a durable cursor (WAL "
+             "subscriber): prints change rows + one summary line per span",
+    )
+    tl.add_argument("--table", required=True)
+    tl.add_argument("--cursor-dir", required=True)
+    tl.add_argument("--step", choices=["net", "per_commit"], default="net")
+    tl.add_argument("--pre-post", action="store_true",
+                    help="CDF shape: updates fan out to pre/post images")
+    tl.add_argument("--seek", type=int, default=None,
+                    help="position the cursor at a snapshot id first")
+    tl.add_argument("--from-start", action="store_true",
+                    help="fresh cursor starts at the oldest retained "
+                         "snapshot instead of tail-from-now")
+    tl.add_argument("--max-spans", type=int, default=None)
+    _add_spark_args(tl)
+    tl.set_defaults(fn=cmd_tail)
 
     sy = sub.add_parser(
         "sync",

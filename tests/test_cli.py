@@ -250,3 +250,24 @@ def test_cli_sql(spark, tmp_path, capsys):
     rc, out, _ = _run(capsys, "scan", "--table", t, "--as-of-batch", "0",
                       "--limit", "0")
     assert n_past == len(out)
+
+
+def test_cli_tail(spark, tmp_path, capsys):
+    """changelog tail via CLI: from-start replays history as inserts,
+    re-poll is caught up, cursor survives between invocations."""
+    b, t, ck = (str(tmp_path / x) for x in ("binlog", "table", "ckpt"))
+    cur = str(tmp_path / "cursor")
+    _run(capsys, "generate", "--out", b, "--events", "1500",
+         "--segments", "2", "--conversations", "40")
+    _run(capsys, "replay", "--binlog", b, "--table", t,
+         "--checkpoint", ck, "--buckets", "4")
+    rc, out, _ = _run(capsys, "tail", "--table", t, "--cursor-dir", cur,
+                      "--from-start")
+    assert rc == 0
+    summary = json.loads(out[-1])
+    assert summary["rows"] > 0 and len(out) == summary["rows"] + 1
+    assert all(
+        json.loads(l)["_change_type"] == "insert" for l in out[:-1]
+    )
+    rc, out, _ = _run(capsys, "tail", "--table", t, "--cursor-dir", cur)
+    assert json.loads(out[-1])["caught_up"] is True
