@@ -1993,3 +1993,60 @@ ORACLE_SQL["repetition_stats"] = """
                AS dup_bigram_frac
     FROM unistats u JOIN bgstats b USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: split each document into 32-token windows with
+# stride 24 (8-token overlap) — the canonical prep step between a cleaned
+# corpus and a fixed-context trainer. Pure codegen fan-out: sequence +
+# explode + slice on the token array, no UDF and no shuffle (the explode
+# multiplies rows map-side); at 100 TB this is parquet-scan bound.
+_CHUNK, _STRIDE = 32, 24
+
+
+def q_doc_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("ws"),
+    )
+    n_chunks = F.when(F.size("ws") <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.size("ws") - _CHUNK) / F.lit(_STRIDE)).cast("long") + 1
+    )
+    return (
+        w.withColumn("i", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice("ws", F.col("i") * _STRIDE + 1, _CHUNK), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice("ws", F.col("i") * _STRIDE + 1, _CHUNK)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+QUERIES["doc_chunks"] = q_doc_chunks
+ORACLE_SQL["doc_chunks"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), n AS (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) <= {_CHUNK} THEN 1
+                    ELSE CAST(ceil(CAST(len(ws) - {_CHUNK} AS DOUBLE)
+                                   / {_STRIDE}) AS BIGINT) + 1
+               END AS n_chunks
+        FROM w
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(
+               list_slice(ws, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(ws, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}))
+                AS INT) AS n_tokens
+    FROM n, unnest(range(n_chunks)) AS t(i)
+"""
