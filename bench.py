@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "cross_doc_ngram_dup",
     "pii_redaction",
     "repetition_stats",
+    "doc_chunks",
 ]
 
 
