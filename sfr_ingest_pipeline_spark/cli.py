@@ -463,6 +463,7 @@ def cmd_inspect(args) -> int:
         "snapshots": tinspect.snapshots_df,
         "files": tinspect.files_df,
         "partitions": tinspect.partitions_df,
+        "schemas": tinspect.schemas_df,
     }[args.what](spark, table)
     for line in df.toJSON().toLocalIterator():
         print(line)
@@ -843,7 +844,7 @@ def main(argv: list[str] | None = None) -> int:
 
     ins = sub.add_parser("inspect",
                          help="metadata tables: snapshots/files/partitions")
-    ins.add_argument("what", choices=["snapshots", "files", "partitions"])
+    ins.add_argument("what", choices=["snapshots", "files", "partitions", "schemas"])
     ins.add_argument("--table", required=True)
     _add_spark_args(ins)
     ins.set_defaults(fn=cmd_inspect)

@@ -127,3 +127,48 @@ def _us_to_ts(us: int):
 
 def _opt_int(v):
     return int(v) if v is not None else None
+
+
+_SCHEMAS_SCHEMA = T.StructType([
+    T.StructField("schema_id", T.IntegerType()),
+    T.StructField("first_snapshot_id", T.IntegerType()),
+    T.StructField("first_committed_at", T.TimestampType()),
+    T.StructField("n_fields", T.IntegerType()),
+    T.StructField("fields", T.StringType()),
+    T.StructField("added_fields", T.StringType()),
+])
+
+
+def schemas_df(spark: SparkSession, table: TranscriptTable) -> DataFrame:
+    """Schema-evolution history: one row per distinct schema_id in the
+    retained snapshot log, with the snapshot that introduced it and the
+    fields it ADDED over its predecessor (additive ALTER-on-write means
+    drops/renames never appear — schema.py rejects them)."""
+    import json as _json
+
+    seen: dict[int, dict] = {}
+    for snap in sorted(table.history(), key=lambda s: s.snapshot_id):
+        if snap.schema_id in seen:
+            continue
+        fields = [
+            (f["name"], f["type"] if isinstance(f["type"], str)
+             else _json.dumps(f["type"]))
+            for f in snap.schema_json["fields"]
+        ]
+        seen[snap.schema_id] = {
+            "sid": snap.snapshot_id, "ts": _us_to_ts(snap.created_us),
+            "fields": fields,
+        }
+    rows = []
+    prev_names: set[str] = set()
+    for schema_id in sorted(seen):
+        e = seen[schema_id]
+        names = {n for n, _ in e["fields"]}
+        added = sorted(names - prev_names)
+        rows.append((
+            schema_id, e["sid"], e["ts"], len(e["fields"]),
+            ", ".join(f"{n}:{t}" for n, t in e["fields"]),
+            ", ".join(added),
+        ))
+        prev_names = names
+    return spark.createDataFrame(rows, _SCHEMAS_SCHEMA)

@@ -102,3 +102,22 @@ def test_inspect_reads_no_data_files(spark, tmp_path, small_cfg, monkeypatch):
     tinspect.files_df(spark, t).collect()
     tinspect.partitions_df(spark, t).collect()
     assert calls == []
+
+
+def test_schemas_df_tracks_evolution(spark, tmp_path, binlog_evolving, small_cfg):
+    """inspect schemas: one row per schema_id, v2 row names exactly the
+    added tool_meta column."""
+    from sfr_ingest_pipeline_spark.schema import CHANGE_EVENT_SCHEMA_V2
+    from sfr_ingest_pipeline_spark.streaming.replay import replay_stream
+    from sfr_ingest_pipeline_spark.table.inspect import schemas_df
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    binlog, _ = binlog_evolving
+    root = str(tmp_path / "t")
+    replay_stream(spark, binlog, root, str(tmp_path / "ck"), config=small_cfg,
+                  event_schema=CHANGE_EVENT_SCHEMA_V2)
+    rows = schemas_df(spark, TranscriptTable.load(root)).orderBy(
+        "schema_id").collect()
+    assert [r.schema_id for r in rows] == [0, 1]
+    assert rows[1].added_fields == "tool_meta"
+    assert "tool_meta" in rows[1].fields and "tool_meta" not in rows[0].fields
