@@ -235,3 +235,52 @@ def test_cli_sync_and_verify(tmp_path, binlog_basic):
     rep = run("sync", "--src", src, "--dst", dst, "--verify",
               "--master", "local[4]")
     assert rep["verify"]["ok"] is True
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_sync_random_schedule_converges(spark, tmp_path, small_cfg, seed):
+    """Randomized schedule of (apply batch | sync | one mid-run rollback):
+    whatever the interleaving, the final sync converges the replica
+    exactly (orders included). ts increases with event_seq so the
+    documented synthetic-delete order caveat cannot trigger."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TranscriptTable.create(src, n_buckets=small_cfg.n_buckets)
+
+    events = []
+    for seq in range(rng.randint(40, 80)):
+        op = rng.choice(["I", "U", "U", "D"])
+        events.append({
+            "op": op, "conv_id": f"c{rng.randint(0, 5)}",
+            "turn_idx": rng.randint(0, 3),
+            "role": None if op == "D" else "user",
+            "text": None if op == "D" else f"t{seq}", "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        })
+    k = 5
+    size = (len(events) + k - 1) // k
+    batches = [events[i:i + size] for i in range(0, len(events), size)]
+
+    rolled_back = False
+    for i, batch in enumerate(batches):
+        apply_batch(spark, src, spark.createDataFrame(pd.DataFrame(batch)),
+                    batch_id=i + 1, config=small_cfg)
+        if rng.random() < 0.5:
+            sync_table(spark, src, dst, config=small_cfg)
+        if not rolled_back and i == len(batches) // 2:
+            t = TranscriptTable.load(src)
+            t.rollback(t.snapshot.snapshot_id - 1)
+            rolled_back = True
+            # the rolled-back batch re-applies (marker reopened)
+            apply_batch(spark, src,
+                        spark.createDataFrame(pd.DataFrame(batch)),
+                        batch_id=i + 1, config=small_cfg)
+    sync_table(spark, src, dst, config=small_cfg)
+    rep = verify_replica(spark, src, dst)
+    assert rep["ok"], (seed, rep)
