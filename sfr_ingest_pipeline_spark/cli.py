@@ -649,15 +649,26 @@ def cmd_sync(args) -> int:
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
-    out = sync_table(
-        spark, args.src, args.dst, config=cfg,
-        step=args.step, max_spans=args.max_spans,
-    )
+    rounds = 0
+    while True:
+        out = sync_table(
+            spark, args.src, args.dst, config=cfg,
+            step=args.step, max_spans=args.max_spans,
+        )
+        rounds += 1
+        if not args.follow:
+            break
+        out["round"] = rounds
+        print(json.dumps(out), flush=True)
+        if args.max_rounds is not None and rounds >= args.max_rounds:
+            break
+        time.sleep(args.poll_sec)
     if args.verify:
         out["verify"] = verify_replica(spark, args.src, args.dst)
         print(json.dumps(out))
         return 0 if out["verify"]["ok"] else 1
-    print(json.dumps(out))
+    if not args.follow:
+        print(json.dumps(out))
     return 0
 
 
@@ -933,6 +944,12 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--step", choices=["net", "per_commit"], default="net")
     sy.add_argument("--max-spans", type=int, default=None)
     sy.add_argument("--verify", action="store_true")
+    sy.add_argument("--follow", action="store_true",
+                    help="follower mode: keep polling (one JSON line per "
+                         "round) instead of a single catch-up")
+    sy.add_argument("--poll-sec", type=float, default=10.0)
+    sy.add_argument("--max-rounds", type=int, default=None,
+                    help="with --follow: stop after N rounds")
     _add_spark_args(sy)
     sy.set_defaults(fn=cmd_sync)
 
