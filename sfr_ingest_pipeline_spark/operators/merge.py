@@ -187,7 +187,13 @@ def _quarantine_invalid(
     try:
         n_bad = int(obs.get["n"] or 0)
     except Exception:  # pragma: no cover - empty-write AQE edge, see above
-        n_bad = 0
+        # The Observation failed, NOT the count: fall back to an explicit
+        # count pass. Assuming 0 here would silently ingest malformed rows
+        # (and delete their dead-letter dir) — the exact failure the
+        # quarantine sink exists to prevent.
+        n_bad = batch_df.filter(
+            _reject_reason_col(batch_df, config).isNotNull()
+        ).count()
     if n_bad == 0:
         shutil.rmtree(bad_dir, ignore_errors=True)
         return batch_df, 0
@@ -503,7 +509,7 @@ def apply_batch(
 
         out = out.withColumn("text", redact_pii("text"))
 
-    commit_rel = f"data/snap-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+    commit_rel = f"data/snap-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     out_dir = f"{table.root}/{commit_rel}"
     if config.merge_mode == "mor" and not compact:
         # pure delta append: output is O(batch winners) — one file per bucket

@@ -23,9 +23,16 @@ marker — the staged CDC batches become durably applied-on-main in the
 same atomic step that makes their rows visible). Strictly fast-forward:
 if main advanced past the branch's fork point the publish raises
 ``CommitConflictError`` — re-stage against the new head rather than
-silently interleaving unaudited history. The published snapshot id jumps
-past every id the branch used, so commit-sequence numbers (the LWW
-final tie-break) stay collision-free across the publish.
+silently interleaving unaudited history. The publish commits at
+``fork_id + 1`` — the SAME snapshot-id slot every concurrent main writer
+must CAS — so a publish/ingest race always collides on one file and
+exactly one side wins (a publish at a jumped-ahead id would let a
+concurrent ``fork_id + 1`` commit land un-contested and be silently
+orphaned when readers roll forward to the higher publish id). Stamp
+uniqueness for the LWW commit-recency tie-break is preserved separately:
+the published snapshot records a ``commit_seq_floor`` past every
+data-dir stamp the branch wrote, so post-publish commits stamp strictly
+above the staged files (``TranscriptTable.next_commit_seq``).
 
 Abort is ``drop_branch``: the staged snapshots vanish with the branch
 directory and the staged data files become unreferenced — the next
@@ -164,10 +171,20 @@ def publish_branch(root: str, name: str, drop: bool = False) -> TranscriptTable:
         "branch_head": bt.snapshot.snapshot_id,
         "fork_snapshot_id": fork_id,
     }
+    # Stamp floor: bt.next_commit_seq - 1 is the highest data-dir stamp the
+    # branch's history ever wrote into the shared data namespace; recording
+    # it makes main's next stamp strictly greater (LWW commit recency must
+    # order post-publish writes newer than the staged files).
+    floor = bt.next_commit_seq - 1
+    if floor > fork_id + 1:
+        props["commit_seq_floor"] = floor
+    else:
+        props.pop("commit_seq_floor", None)
     snap = Snapshot(
-        # jump PAST every id the branch used so commit-sequence numbers
-        # (LWW final tie-break, parsed from data paths) stay unique
-        snapshot_id=bt.snapshot.snapshot_id + 1,
+        # fork_id + 1: the SAME id slot any concurrent main commit must
+        # CAS-create, so publish/ingest races collide on one file and
+        # exactly one wins (see module docstring)
+        snapshot_id=fork_id + 1,
         parent_id=mt.snapshot.snapshot_id,
         created_us=int(time.time() * 1e6),
         schema_id=bt.snapshot.schema_id,

@@ -182,12 +182,20 @@ def _dml_commit(
         live = live.filter(F.col("conv_id").isin(list(conv_ids)))
     matched = live.filter(F.expr(predicate))
 
+    out = matched
+    if op != "delete":
+        # SET expressions evaluate against the row's CURRENT state — BEFORE
+        # the order columns are advanced below, so an expression referencing
+        # ts/event_seq sees the stored values, not the bumped ones.
+        for col, expr in (set_exprs or {}).items():
+            out = out.withColumn(col, F.expr(expr).cast(
+                table.schema[col].dataType))
+
     # ---- advance the LWW order past the current winner ---------------------
     # order = (greatest(ts, stamp), event_seq + 1): the +1 on the minor order
     # makes the new version strictly greater even when ts saturates; commit
     # recency (commit_seq_col) breaks any residual tie in this version's
     # favor anyway.
-    out = matched
     if order_cols and order_cols[0] == "ts":
         out = out.withColumn(
             "ts", F.greatest(F.col("ts"), F.timestamp_micros(F.lit(stamp_us)))
@@ -205,10 +213,6 @@ def _dml_commit(
             # can never lower the high-water mark
             .withColumn("_del_hw", F.greatest(F.col("_del_hw"), hw))
         )
-    else:
-        for col, expr in (set_exprs or {}).items():
-            out = out.withColumn(col, F.expr(expr).cast(
-                table.schema[col].dataType))
 
     detail = {"predicate": predicate, "set": set_exprs, "conv_ids": conv_ids,
               "ts_us": stamp_us}
@@ -232,7 +236,7 @@ def _commit_delta(
     carried forward, ``dml`` property recorded, changelog-visible."""
     key_cols = list(table.snapshot.key_cols)
     commit_rel = (
-        f"data/dml-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+        f"data/dml-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     )
     out = out.withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
     (

@@ -55,7 +55,7 @@ def compact(
         resolved = resolved.filter(keep)
 
     commit_rel = (
-        f"data/compact-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+        f"data/compact-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     )
     out_dir = os.path.join(table.root, commit_rel)
     n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, len(buckets))))
@@ -110,8 +110,15 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
             "run it on the parent table (branch refs are retained there)"
         )
     table = TranscriptTable.load(table_root)
-    current = table.snapshot.snapshot_id
-    keep_ids = set(range(max(1, current - keep_last + 1), current + 1))
+    # Newest keep_last snapshots ON DISK, not a contiguous id range: tables
+    # written before branch-publish committed at fork_id+1 may carry id
+    # gaps, and a range would count the missing ids against the retention
+    # budget (expiring a snapshot only one commit old right after a
+    # publish, breaking the "size keep_last above the longest reader's
+    # lifetime in commits" contract).
+    on_disk = [s.snapshot_id for s in table.history()]
+    keep_ids = set(on_disk[-keep_last:])
+    keep_ids.add(table.snapshot.snapshot_id)
     # tagged snapshots are pinned outside the keep_last window: a tag is a
     # reproducibility promise ("this corpus build reads tag X"), so GC must
     # never invalidate one — delete the tag first to release it
@@ -308,7 +315,7 @@ def recluster(
     )
 
     commit_rel = (
-        f"data/recluster-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+        f"data/recluster-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     )
     out_dir = os.path.join(table.root, commit_rel)
     (
@@ -360,7 +367,7 @@ def rebucket(
     )
 
     commit_rel = (
-        f"data/rebucket-{table.snapshot.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
+        f"data/rebucket-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     )
     out_dir = os.path.join(table.root, commit_rel)
     n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, new_n_buckets)))

@@ -492,6 +492,19 @@ class TranscriptTable:
     def last_batch_id(self) -> int | None:
         return self.snapshot.properties.get("batch_id")
 
+    @property
+    def next_commit_seq(self) -> int:
+        """Commit-sequence stamp for the NEXT commit's data directory name
+        (parsed back by :func:`commit_seq_col` as the LWW recency
+        tie-break). Normally ``snapshot_id + 1``; after a branch publish
+        the snapshot carries a ``commit_seq_floor`` past every stamp the
+        branch wrote into the shared data namespace, so post-publish
+        commits stamp strictly above the staged files (commit recency must
+        order them newer). ``next_commit_seq - 1`` is therefore the
+        high-water mark of stamps ever used by this table's history."""
+        floor = int(self.snapshot.properties.get("commit_seq_floor") or 0)
+        return max(self.snapshot.snapshot_id, floor) + 1
+
     def _load_manifest(self, rel_path: str) -> dict[int, list[DataFileInfo]]:
         cached = self._manifest_cache.get(rel_path)
         if cached is None:
@@ -975,6 +988,20 @@ class TranscriptTable:
             schema_id = cur.schema_id + (
                 0 if schema_json == cur.schema_json else 1
             )
+            # Commit-seq floor propagation: the writer stamped its data dir
+            # with base.next_commit_seq (see the 5 writer sites). Record the
+            # high-water mark when it exceeds the natural snapshot-id stamp
+            # so later commits (incl. after CAS rebases) stamp above it and
+            # commit recency stays monotone in commit order.
+            stamp_hwm = max(
+                base.next_commit_seq,
+                int(props.get("commit_seq_floor") or 0),
+                int(cur.properties.get("commit_seq_floor") or 0),
+            )
+            if stamp_hwm > cur.snapshot_id + 1:
+                props["commit_seq_floor"] = stamp_hwm
+            else:
+                props.pop("commit_seq_floor", None)
             snap = Snapshot(
                 snapshot_id=cur.snapshot_id + 1,
                 parent_id=cur.snapshot_id,
@@ -1056,6 +1083,17 @@ class TranscriptTable:
             "from_snapshot": cur.snapshot_id,
             "to_snapshot": to_snapshot_id,
         }
+        # Stamps used AFTER the target must stay below future stamps even
+        # though we restore the target's properties: carry the current
+        # head's stamp high-water mark, not the target's stale floor.
+        floor = max(
+            int(target.properties.get("commit_seq_floor") or 0),
+            int(cur.properties.get("commit_seq_floor") or 0),
+        )
+        if floor > cur.snapshot_id + 1:
+            props["commit_seq_floor"] = floor
+        else:
+            props.pop("commit_seq_floor", None)
         snap = Snapshot(
             snapshot_id=cur.snapshot_id + 1,
             parent_id=cur.snapshot_id,

@@ -176,3 +176,71 @@ def test_branch_rollback_to_fork_publishes_state_exact(
     res = apply_batch(spark, root, spark.createDataFrame(segments_basic[2]), 2,
                       config=small_cfg)
     assert res.committed and not res.skipped
+
+
+def test_publish_collides_with_concurrent_main_commit(
+    spark, tmp_path, segments_basic, small_cfg
+):
+    """The publish snapshot occupies fork_id+1 — the exact id slot any
+    concurrent main writer must CAS — so a writer holding a pre-publish
+    handle cannot land an un-contested commit that readers would silently
+    orphan: its CAS collides, it rebases onto the publish, and BOTH commits
+    end up on the lineage."""
+    root = _build(spark, tmp_path, segments_basic, small_cfg, 2)
+    fork_id = TranscriptTable.load(root).snapshot.snapshot_id
+    stale = TranscriptTable.load(root)  # pre-publish writer handle
+
+    broot = create_branch(root, "race")
+    for i in (2, 3):
+        apply_batch(spark, broot, spark.createDataFrame(segments_basic[i]), i,
+                    config=small_cfg)
+    published = publish_branch(root, "race", drop=True)
+    # the contested slot, not a jumped-ahead id
+    assert published.snapshot.snapshot_id == fork_id + 1
+    ids = TranscriptTable._ids_on_disk(root)
+    assert ids == list(range(1, fork_id + 2))  # contiguous, no gap
+
+    # the stale writer commits through its pre-publish handle: the CAS at
+    # fork_id+1 must collide with the publish and rebase on top of it
+    after = stale.commit(set(), [], {"batch_id": stale.last_batch_id})
+    assert after.snapshot.snapshot_id == published.snapshot.snapshot_id + 1
+    assert after.snapshot.parent_id == published.snapshot.snapshot_id
+    # published rows survived the race
+    assert published.last_batch_id == 3
+    assert len(_pdf(spark, root)) > 0
+
+
+def test_publish_stamp_floor_keeps_commit_recency_monotone(
+    spark, tmp_path, segments_basic, small_cfg
+):
+    """Branch commits stamp their data dirs with branch snapshot ids that
+    run PAST main's head; the publish records a commit_seq_floor so main's
+    post-publish writes stamp strictly above every staged file — commit
+    recency (the LWW final tie-break) must order them newer."""
+    import re
+
+    root = _build(spark, tmp_path, segments_basic, small_cfg, 2)
+    broot = create_branch(root, "floor")
+    for i in (2, 3):
+        apply_batch(spark, broot, spark.createDataFrame(segments_basic[i]), i,
+                    config=small_cfg)
+    branch_stamps = {
+        int(m.group(1))
+        for d in os.listdir(os.path.join(root, "data"))
+        if (m := re.match(r"snap-(\d+)-[0-9a-f]+$", d))
+    }
+    published = publish_branch(root, "floor", drop=True)
+    floor = published.snapshot.properties.get("commit_seq_floor")
+    assert floor is not None and floor >= max(branch_stamps)
+    assert published.next_commit_seq == floor + 1
+
+    # a fresh main write stamps above every pre-existing dir
+    apply_batch(spark, root, spark.createDataFrame(segments_basic[3]), 4,
+                config=small_cfg)
+    all_stamps = [
+        int(m.group(1))
+        for d in os.listdir(os.path.join(root, "data"))
+        if (m := re.match(r"snap-(\d+)-[0-9a-f]+$", d))
+    ]
+    assert len(all_stamps) == len(set(all_stamps))  # no stamp collisions
+    assert max(all_stamps) > max(branch_stamps)

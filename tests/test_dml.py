@@ -326,3 +326,44 @@ def test_merge_into_changelog_and_late_cdc(spark, tmp_path, small_cfg):
     apply_batch(spark, root, spark.createDataFrame(late), 1, config=small_cfg)
     got = _table_pandas(spark, root)
     assert got.loc[got["conv_id"] == "c1", "text"].iloc[0] == "merged"
+
+
+def test_update_set_sees_pre_advance_order_values(
+    spark, tmp_path, segments_basic, small_cfg
+):
+    """SET expressions evaluate against the row's CURRENT state: an
+    expression referencing an order column (ts/event_seq) must see the
+    stored value, not the advanced one the new version is committed with."""
+    def _with_seq(root):
+        # with_meta scan returns raw stored versions; resolve to the LWW
+        # winner per key (newest event_seq) before comparing
+        raw = (
+            TranscriptTable.load(root)
+            .scan(spark, with_meta=True)
+            .select("conv_id", "turn_idx", "role", "tool", "event_seq")
+            .toPandas()
+        )
+        return (
+            raw.sort_values(["conv_id", "turn_idx", "event_seq"])
+            .groupby(["conv_id", "turn_idx"], as_index=False)
+            .last()
+            .reset_index(drop=True)
+        )
+
+    root = _build(spark, tmp_path, segments_basic, small_cfg, "tset")
+    before = _with_seq(root)
+    res = update_where(
+        spark, root, "role = 'user'",
+        {"tool": "concat('seq=', cast(event_seq as string))"},
+        config=small_cfg,
+    )
+    assert res.committed and res.rows_matched > 0
+    after = _with_seq(root)
+    merged = before.merge(
+        after, on=["conv_id", "turn_idx"], suffixes=("_b", "_a")
+    )
+    upd = merged[merged["role_b"] == "user"]
+    # SET saw the PRE-advance event_seq...
+    assert (upd["tool_a"] == "seq=" + upd["event_seq_b"].astype(str)).all()
+    # ...while the committed version's order still advanced past it (LWW)
+    assert (upd["event_seq_a"] == upd["event_seq_b"] + 1).all()

@@ -369,3 +369,40 @@ def test_tags_pin_snapshots_through_gc(spark, tmp_path, segments_basic, small_cf
     expire_snapshots(root, keep_last=1)
     retained = {s.snapshot_id for s in TranscriptTable.load(root).history()}
     assert retained == {t.snapshot.snapshot_id}
+
+
+def test_expire_counts_snapshots_not_id_range(
+    spark, tmp_path, segments_basic, small_cfg
+):
+    """keep_last counts snapshots ON DISK, not a contiguous id range:
+    a gapped history (written by the pre-round-5 branch publish, which
+    jumped snapshot ids) must still retain the newest keep_last actual
+    snapshots — a range would count the missing ids against the budget and
+    expire a snapshot only one commit old."""
+    import dataclasses
+    import json
+
+    from sfr_ingest_pipeline_spark.table.transcript_table import (
+        _atomic_create_json,
+    )
+
+    root = str(tmp_path / "gap")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+    for i in range(2):
+        apply_batch(spark, root, spark.createDataFrame(segments_basic[i]), i,
+                    config=small_cfg)
+    t = TranscriptTable.load(root)
+    head = t.snapshot.snapshot_id  # 3: create + 2 batches
+    # simulate a legacy published snapshot that jumped ids (head+5)
+    jumped = dataclasses.replace(
+        t.snapshot, snapshot_id=head + 5, parent_id=head
+    )
+    _atomic_create_json(
+        TranscriptTable._snap_path(root, jumped.snapshot_id), jumped.to_json()
+    )
+    expire_snapshots(root, keep_last=2)
+    # newest 2 snapshots on disk are {head, head+5}: head must survive
+    assert TranscriptTable._ids_on_disk(root) == [head, head + 5]
+    # both still load and scan
+    assert TranscriptTable.load(root, head).snapshot.snapshot_id == head
+    assert len(TranscriptTable.load(root).scan(spark).limit(1).collect()) >= 0

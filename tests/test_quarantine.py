@@ -163,3 +163,35 @@ def test_streaming_replay_with_quarantine(spark, tmp_path, small_cfg):
     assert set(
         r._reject_reason for r in dlq.select("_reject_reason").collect()
     ) == {"bad_op:Z", "null_key:conv_id"}
+
+
+def test_observation_failure_still_filters_bad_rows(spark, qtable, monkeypatch):
+    """If the Observation read fails, the fallback must COUNT the rejects
+    explicitly — not assume zero: assuming zero would silently ingest the
+    malformed rows and delete their dead-letter dir (the exact failure the
+    quarantine sink exists to prevent)."""
+    from pyspark.sql import Observation
+
+    from sfr_ingest_pipeline_spark.operators import merge as merge_mod
+
+    root, qdir, cfg = qtable
+    df = _df(spark, [
+        ("I", "c1", 0, 1),          # valid
+        ("I", None, 1, 2),          # null key -> quarantine
+        ("X", "c1", 2, 3),          # bad op -> quarantine
+    ])
+
+    def _boom(self):
+        raise RuntimeError("observation metrics unavailable")
+
+    monkeypatch.setattr(Observation, "get", property(_boom))
+    valid, n_bad = merge_mod._quarantine_invalid(df, 7, cfg)
+    assert n_bad == 2
+    got = valid.toPandas()
+    assert len(got) == 1 and got["conv_id"].iloc[0] == "c1"
+    # the dead-letter dir survives with the rejects
+    bad_dir = os.path.join(qdir, "batch-00000007")
+    files = [f for f in os.listdir(bad_dir) if f.endswith(".parquet")]
+    assert files
+    bad = spark.read.parquet(bad_dir).toPandas()
+    assert sorted(bad["_reject_reason"]) == ["bad_op:X", "null_key:conv_id"]
