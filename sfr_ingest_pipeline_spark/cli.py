@@ -186,7 +186,15 @@ def cmd_scan(args) -> int:
         table = table.load_snapshot_as_of_batch(args.as_of_batch)
     if args.as_of_ts is not None:
         table = table.load_snapshot_as_of_timestamp(_parse_ts_us(args.as_of_ts))
-    df = table.scan(spark, with_meta=args.with_meta)
+    ts_between = None
+    if args.ts_between is not None:
+        lo, hi = args.ts_between.split(",", 1)
+        ts_between = (_parse_ts_us(lo.strip()), _parse_ts_us(hi.strip()))
+        kept, pruned = table.ts_pruned_files(ts_between[0])
+        print(json.dumps({"ts_window_files_read": len(kept),
+                          "ts_window_files_pruned": pruned}),
+              file=sys.stderr)
+    df = table.scan(spark, with_meta=args.with_meta, ts_between=ts_between)
     df = df.orderBy("conv_id", "turn_idx")
     if args.limit:
         df = df.limit(args.limit)
@@ -760,6 +768,10 @@ def main(argv: list[str] | None = None) -> int:
                         "epoch, or an ISO-8601 datetime)")
     s.add_argument("--tag", default=None,
                    help="read the snapshot pinned by this named tag")
+    s.add_argument("--ts-between", default=None,
+                   help="'LO,HI' time window on the ts column (each epoch-µs "
+                        "or ISO-8601): current-state rows in the closed "
+                        "window, with manifest ts-stats file pruning")
     s.add_argument("--with-meta", action="store_true")
     _add_spark_args(s)
     s.set_defaults(fn=cmd_scan)

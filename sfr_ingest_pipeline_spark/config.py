@@ -115,6 +115,11 @@ class EngineConfig:
             "spark.sql.shuffle.partitions": "32",
             "spark.sql.session.timeZone": "UTC",
             "spark.sql.parquet.compression.codec": "zstd",
+            # int64 µs timestamps (the Iceberg physical type), NOT Spark's
+            # INT96 compat default: INT96 writes no column min/max stats,
+            # which would blind the manifest's per-file ts bounds (time-
+            # windowed scan pruning) and every engine's row-group skipping
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         }
     )
 

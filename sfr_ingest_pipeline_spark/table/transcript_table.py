@@ -88,6 +88,26 @@ def commit_seq_of(path_col):
     )
 
 
+def _epoch_us(v) -> int | None:
+    """Parquet footer ts statistic -> epoch microseconds. pyarrow returns
+    datetime objects (tz-aware, or naive meaning UTC for Spark-written
+    isAdjustedToUTC timestamps) or raw ints for INT64 physical stats.
+    Integer arithmetic throughout — float .timestamp() would round µs."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        days = (v.date() - _dt.date(1970, 1, 1)).days
+        secs = days * 86400 + v.hour * 3600 + v.minute * 60 + v.second
+        return secs * 1_000_000 + v.microsecond
+    return None
+
+
 def resolve_stored_versions(df: DataFrame, key_cols, order_cols) -> DataFrame:
     """Row-level LWW across stored versions of a key (base + MoR deltas):
     winner by (order_cols..., commit recency). The commit tie-break makes
@@ -142,6 +162,11 @@ class DataFileInfo:
     live_rows: int       # rows minus tombstones (exact, from footer read)
     conv_id_min: str | None = None
     conv_id_max: str | None = None
+    # ts column bounds in epoch-µs (parquet footer stats), for time-windowed
+    # scan pruning; None on files written before these stats existed or
+    # whose footers carry no ts min/max
+    ts_min_us: int | None = None
+    ts_max_us: int | None = None
     # "base": full bucket state (copy-on-write output / compaction output);
     # "delta": merge-on-read append containing only that batch's winners —
     # readers LWW-reduce base+deltas per key (SURVEY.md §4.3)
@@ -568,12 +593,31 @@ class TranscriptTable:
                 commits.setdefault(f.bucket, set()).add(commit_dir)
         return {b: len(s) for b, s in commits.items()}
 
+    def ts_pruned_files(
+        self, lo_us: int, buckets: set[int] | None = None,
+        files: list[DataFileInfo] | None = None,
+    ) -> tuple[list[DataFileInfo], int]:
+        """(files a time-windowed scan must read, files pruned): every file
+        whose footer ``ts_max`` is below the window start can be skipped
+        EXACTLY, because LWW supersession is monotone in the leading order
+        column — a version that beats an in-window version carries
+        ``ts >= window start``, so files entirely below the start can
+        neither hold the current winner of an in-window key nor supersede
+        one. Files lacking ts stats (pre-upgrade manifests) are kept. No
+        upper-bound pruning: a file entirely ABOVE the window may supersede
+        in-window keys and must be read for resolution."""
+        if files is None:
+            files = self.files_in_buckets(buckets)
+        kept = [f for f in files if f.ts_max_us is None or f.ts_max_us >= lo_us]
+        return kept, len(files) - len(kept)
+
     def scan(
         self,
         spark: SparkSession,
         with_meta: bool = False,
         buckets: set[int] | None = None,
         files: list[DataFileInfo] | None = None,
+        ts_between: tuple | None = None,
     ) -> DataFrame:
         """Read the table (optionally pruned to buckets, or to an explicit
         file subset chosen by the caller, e.g. the conv_id-range pruning in
@@ -589,14 +633,34 @@ class TranscriptTable:
         them along with the batch), while the logical scan LWW-reduces per
         key by the snapshot's order columns and drops tombstones.
 
+        ``ts_between=(lo, hi)`` (epoch-µs ints, or datetimes — naive means
+        UTC) returns the current-state rows whose ``ts`` falls in the
+        closed window, skipping every data file whose footer ts_max is
+        below ``lo`` via manifest stats (see :meth:`ts_pruned_files` for
+        the exactness argument — the common "last N days" analytic scan
+        reads O(recent files), not the table).
+
         Raises :class:`SnapshotExpiredError` when this reader's snapshot was
         GC'd by ``expire_snapshots`` since it was loaded — a clean plan-time
         error instead of FileNotFoundError mid-job on half-GC'd files.
         """
         self._assert_retained()
+        lo_us = hi_us = None
+        if ts_between is not None:
+            if with_meta:
+                raise ValueError(
+                    "ts_between requires the resolved logical scan "
+                    "(with_meta=False): raw multi-version rows cannot be "
+                    "time-filtered exactly"
+                )
+            lo_us, hi_us = (_epoch_us(ts_between[0]), _epoch_us(ts_between[1]))
+            if lo_us is None or hi_us is None:
+                raise ValueError(f"unparseable ts_between: {ts_between!r}")
         phys = physical_schema(self.schema, tuple(self.snapshot.order_cols))
         if files is None:
             files = self.files_in_buckets(buckets)
+        if lo_us is not None:
+            files, _ = self.ts_pruned_files(lo_us, files=files)
         if not files:
             df = spark.createDataFrame([], phys)
         else:
@@ -608,7 +672,13 @@ class TranscriptTable:
             df = resolve_stored_versions(
                 df, list(self.snapshot.key_cols), self.snapshot.order_cols
             )
-        return df.filter(~F.col("_deleted")).drop(*META_COLS)
+        df = df.filter(~F.col("_deleted")).drop(*META_COLS)
+        if lo_us is not None:
+            df = df.filter(
+                (F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
+                & (F.col("ts") <= F.timestamp_micros(F.lit(hi_us)))
+            )
+        return df
 
     def read_conversation(self, spark: SparkSession, conv_id: str) -> DataFrame:
         """Point lookup: one conversation's live turns.
@@ -1173,9 +1243,11 @@ class TranscriptTable:
                 md = pf.metadata
                 rows = md.num_rows
                 cmin = cmax = None
+                tmin = tmax = None
                 live = rows
                 schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
                 conv_idx = schema_names.index("conv_id") if "conv_id" in schema_names else None
+                ts_idx = schema_names.index("ts") if "ts" in schema_names else None
                 for rg in range(md.num_row_groups):
                     if conv_idx is not None:
                         st = md.row_group(rg).column(conv_idx).statistics
@@ -1183,6 +1255,14 @@ class TranscriptTable:
                             mn, mx = st.min, st.max
                             cmin = mn if cmin is None else min(cmin, mn)
                             cmax = mx if cmax is None else max(cmax, mx)
+                    if ts_idx is not None:
+                        st = md.row_group(rg).column(ts_idx).statistics
+                        if st is not None and st.has_min_max:
+                            lo, hi = _epoch_us(st.min), _epoch_us(st.max)
+                            if lo is not None:
+                                tmin = lo if tmin is None else min(tmin, lo)
+                            if hi is not None:
+                                tmax = hi if tmax is None else max(tmax, hi)
                 if "_deleted" in schema_names:
                     # exact live count: the bit-packed boolean chunk is tiny
                     # (~rows/8 bytes) so counting tombstones here is cheaper
@@ -1220,7 +1300,8 @@ class TranscriptTable:
                     bloom_entry = bw.add(distinct, bloom_fpp, bloom_max_bytes)
                 info = DataFileInfo(
                     path=rel, bucket=bucket, rows=rows, live_rows=live,
-                    conv_id_min=cmin, conv_id_max=cmax, kind=kind,
+                    conv_id_min=cmin, conv_id_max=cmax,
+                    ts_min_us=tmin, ts_max_us=tmax, kind=kind,
                 )
                 if bloom_entry is not None:
                     (info.bloom_path, info.bloom_off,

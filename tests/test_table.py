@@ -2,6 +2,7 @@ import glob
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sfr_ingest_pipeline_spark.schema import TRANSCRIPT_SCHEMA, widen_schema
@@ -901,3 +902,66 @@ def test_timestamp_time_travel_matches_snapshot_travel(tmp_path):
     # far future -> current snapshot
     cur = t.load_snapshot_as_of_timestamp(hist[-1].created_us + 10_000_000)
     assert cur.snapshot.snapshot_id == 5
+
+
+def test_ts_window_scan_prunes_files_exactly(spark, tmp_path, small_cfg):
+    """Time-windowed analytic scan ("last N days of turns"): files whose
+    footer ts_max is below the window start are skipped via manifest stats,
+    and the pruned result equals the unpruned scan post-filtered on ts —
+    including a key whose in-window version was superseded by a LATER
+    out-of-window update (supersession is monotone in ts, so the
+    superseding file is never pruned and the key is correctly excluded)."""
+    from dataclasses import replace as dc_replace
+
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+
+    cfg = dc_replace(small_cfg, merge_mode="mor", compact_delta_files=1000)
+    root = str(tmp_path / "tsprune")
+    TranscriptTable.create(root, n_buckets=small_cfg.n_buckets)
+
+    def day(d, s=0):
+        return pd.Timestamp(f"2026-01-{d:02d}") + pd.Timedelta(seconds=s)
+
+    # wave i (batch i) carries day-i timestamps; 30 convs per wave
+    seq = 0
+    for i, d in enumerate((1, 2, 3, 4)):
+        rows = []
+        for c in range(30):
+            seq += 1
+            rows.append({"op": "I", "conv_id": f"w{d}c{c}", "turn_idx": 0,
+                         "role": "user", "text": f"day{d}", "tool": None,
+                         "ts": day(d, c), "event_seq": seq})
+        # day 4 also SUPERSEDES a day-2 conversation's turn: the day-2
+        # window must not emit the stale version
+        if d == 4:
+            seq += 1
+            rows.append({"op": "U", "conv_id": "w2c0", "turn_idx": 0,
+                         "role": "user", "text": "rewritten-day4",
+                         "tool": None, "ts": day(4, 999), "event_seq": seq})
+        apply_batch(spark, root, spark.createDataFrame(pd.DataFrame(rows)), i,
+                    config=cfg)
+
+    t = TranscriptTable.load(root)
+    files = t.files
+    assert all(f.ts_min_us is not None and f.ts_max_us is not None
+               for f in files)
+
+    lo = int(pd.Timestamp("2026-01-02").timestamp() * 1e6)
+    hi = int((pd.Timestamp("2026-01-03") - pd.Timedelta(microseconds=1)
+              ).timestamp() * 1e6)
+    kept, pruned = t.ts_pruned_files(lo)
+    assert pruned > 0, "day-1 files must be pruned"
+    assert len(kept) < len(files)
+
+    got = (t.scan(spark, ts_between=(lo, hi))
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    exp = (t.scan(spark)
+           .filter((F.col("ts") >= F.timestamp_micros(F.lit(lo)))
+                   & (F.col("ts") <= F.timestamp_micros(F.lit(hi))))
+           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    # the window holds exactly day-2 rows minus the superseded conversation
+    assert set(got["conv_id"]) == {f"w2c{c}" for c in range(1, 30)}
+    assert "rewritten-day4" not in set(got["text"])
