@@ -53,24 +53,38 @@ def materialize_conversations(
     spark: SparkSession,
     table_root: str,
     out_dir: str,
-    conv_ids: list[str] | None = None,
+    conv_ids: "list[str] | DataFrame | None" = None,
 ) -> int:
     """Write the conversation-document view; with ``conv_ids`` only changed
     conversations are recomputed and appended as a new version (LWW by
     ``snapshot_id`` on read — see ``read_documents``). Returns documents
     written, counted by an Observation on the write itself (no second pass).
-    """
+
+    ``conv_ids`` may be a small driver-side list (bucket + isin point
+    pruning, the common per-span path) or a DataFrame of ``conv_id`` for
+    large change spans (one semi-joined scan, nothing data-sized collected
+    to the driver — the full-resync path)."""
     table = TranscriptTable.load(table_root)
-    scan = table.scan(spark)
-    if conv_ids is not None:
-        scan = scan.filter(F.col("conv_id").isin(conv_ids))
-    docs = conversation_documents(scan)
-    if conv_ids is not None:
-        # conversations with no live turns left still need a fresh version
-        # that marks them gone, else the stale document would win forever
+    if isinstance(conv_ids, DataFrame):
+        requested = conv_ids.select("conv_id").distinct()
+        scan = table.scan(spark).join(requested, "conv_id", "left_semi")
+    elif conv_ids is not None:
+        from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+
         requested = spark.createDataFrame(
             [(c,) for c in conv_ids], "conv_id string"
         )
+        buckets = {bucket_of(c, table.n_buckets) for c in conv_ids}
+        scan = table.scan(spark, buckets=buckets).filter(
+            F.col("conv_id").isin(conv_ids)
+        )
+    else:
+        requested = None
+        scan = table.scan(spark)
+    docs = conversation_documents(scan)
+    if requested is not None:
+        # conversations with no live turns left still need a fresh version
+        # that marks them gone, else the stale document would win forever
         gone = requested.join(docs.select("conv_id"), "conv_id", "left_anti").select(
             "conv_id",
             F.lit(0).cast("long").alias("n_turns"),
@@ -134,16 +148,28 @@ def sync_documents_from_changelog(
     the ``conv_ids`` path). The tail's cursor makes the loop resumable; the
     snapshot-stamped append keeps re-processing after a crash idempotent.
 
-    The touched-conversation list is collected to the driver — it is
-    O(changed conversations per span), the same cardinality the reference
-    pushed through its uuid stream, not O(table)."""
+    Small spans (the steady-state case) collect the touched-conversation
+    list to the driver for bucket + isin point pruning — O(changed
+    conversations per span), the same cardinality the reference pushed
+    through its uuid stream. A span touching more than
+    ``_POINT_PRUNE_LIMIT`` conversations (e.g. a ``seek(1)`` full resync,
+    where the span IS the table) switches to a semi-joined scan instead:
+    nothing data-sized ever reaches the driver."""
+    from sfr_ingest_pipeline_spark.streaming.incremental import (
+        _POINT_PRUNE_LIMIT,
+    )
+
     batches = 0
     docs = 0
     while (batch := tail.poll(spark)) is not None:
-        convs = [
-            r.conv_id for r in batch.df.select("conv_id").distinct().collect()
-        ]
-        if convs:
+        convs_df = batch.df.select("conv_id").distinct()
+        n_convs = convs_df.count()
+        if n_convs > _POINT_PRUNE_LIMIT:
+            docs += materialize_conversations(
+                spark, table_root, out_dir, conv_ids=convs_df
+            )
+        elif n_convs:
+            convs = [r.conv_id for r in convs_df.collect()]
             docs += materialize_conversations(
                 spark, table_root, out_dir, conv_ids=convs
             )

@@ -171,3 +171,60 @@ def test_sync_documents_from_changelog(spark, tmp_path, small_cfg):
     # wave 3 touches nothing the view shows (idempotent re-run: no batches)
     r = sync_documents_from_changelog(spark, tail, root, out)
     assert r == {"batches": 0, "documents_refreshed": 0}
+
+
+def test_full_resync_uses_semijoin_not_driver_collect(
+    spark, tmp_path, small_cfg, monkeypatch
+):
+    """A seek(1) full resync makes the change span = the whole table; above
+    _POINT_PRUNE_LIMIT the sync must switch to a semi-joined scan and never
+    collect the span's conv_ids to the driver — output identical to the
+    point-pruned path."""
+    from sfr_ingest_pipeline_spark.streaming import incremental
+    from sfr_ingest_pipeline_spark.streaming.materialize import (
+        conversation_documents,
+        read_documents,
+        sync_documents_from_changelog,
+    )
+
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+    evs = []
+    for c in range(12):
+        evs.append(ev("I", f"c{c}", 0, f"t{c}", c + 1))
+        evs.append(ev("I", f"c{c}", 1, f"u{c}", 100 + c))
+    _apply(spark, root, cfg, 0, evs)
+
+    # force the big-span path: any span touching >3 convs semi-joins
+    monkeypatch.setattr(incremental, "_POINT_PRUNE_LIMIT", 3)
+    # code-path assertion: any driver-side materialization of more rows
+    # than the limit fails the test
+    orig_collect = type(spark.range(1)).collect
+
+    def guarded_collect(self):
+        rows = orig_collect(self)
+        assert len(rows) <= 3, (
+            f"data-sized driver collect of {len(rows)} rows on the "
+            "full-resync path"
+        )
+        return rows
+
+    out = str(tmp_path / "docs")
+    tail = ChangelogTail(root, str(tmp_path / "cur"), step="per_commit")
+    tail.seek(1)
+    monkeypatch.setattr(type(spark.range(1)), "collect", guarded_collect)
+    r = sync_documents_from_changelog(spark, tail, root, out)
+    monkeypatch.setattr(type(spark.range(1)), "collect", orig_collect)
+    assert r["batches"] == 1 and r["documents_refreshed"] == 12
+
+    t = TranscriptTable.load(root)
+    got = {
+        row.conv_id: (row.n_turns, row.document)
+        for row in read_documents(spark, out).collect()
+    }
+    exp = {
+        row.conv_id: (row.n_turns, row.document)
+        for row in conversation_documents(t.scan(spark)).collect()
+    }
+    assert got == exp and len(got) == 12
