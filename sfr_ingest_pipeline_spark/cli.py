@@ -656,7 +656,8 @@ def cmd_sync(args) -> int:
 
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
+    cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32,
+                       column_merge=args.column_merge)
     rounds = 0
     while True:
         out = sync_table(
@@ -954,6 +955,10 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--src", required=True)
     sy.add_argument("--dst", required=True)
     sy.add_argument("--step", choices=["net", "per_commit"], default="net")
+    sy.add_argument("--column-merge", choices=["row", "coalesce"],
+                    default="row",
+                    help="the SOURCE table's merge semantics; coalesce "
+                         "sources replicate with batch-wins-tie applies")
     sy.add_argument("--max-spans", type=int, default=None)
     sy.add_argument("--verify", action="store_true")
     sy.add_argument("--follow", action="store_true",

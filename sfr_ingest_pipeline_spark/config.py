@@ -55,6 +55,18 @@ class EngineConfig:
     #        the newest non-null value; a partial-update event only touches
     #        the columns it carries; tombstones still cut history.
     column_merge: str = "row"
+    # Exact-(ts, event_seq)-tie resolution between a batch event and stored
+    # state. "state" (default): state wins, so cross-batch re-deliveries
+    # count as conflicts and never double-apply — correct when order ties
+    # can only BE re-deliveries (the binlog contract: event_seq unique).
+    # "batch": the batch row wins and persists as a newer stored version
+    #          (disambiguated on read by commit recency) — required by the
+    #          replication apply when the SOURCE is a coalesce-mode table,
+    #          whose changelog legitimately re-emits a key at an unchanged
+    #          winning order after a stale fill changed its payload;
+    #          value-idempotent under re-delivery because the re-emitted
+    #          folded state is byte-identical. Row-mode only.
+    tie_wins: str = "state"
     # Watermark horizon for SOURCE-side transport dedup
     # (dropDuplicatesWithinWatermark on event_seq in front of the MERGE).
     # None disables. The LWW MERGE absorbs redeliveries exactly either way;
@@ -95,6 +107,13 @@ class EngineConfig:
         if self.column_merge not in ("row", "coalesce"):
             raise ValueError(
                 f"column_merge must be row|coalesce, got {self.column_merge!r}"
+            )
+        if self.tie_wins not in ("state", "batch"):
+            raise ValueError(f"tie_wins must be state|batch, got {self.tie_wins!r}")
+        if self.tie_wins == "batch" and self.column_merge != "row":
+            raise ValueError(
+                "tie_wins='batch' requires column_merge='row' (the coalesce "
+                "fold has its own per-column tie semantics)"
             )
 
     # Spark confs applied by session helpers / spark-submit wrappers.

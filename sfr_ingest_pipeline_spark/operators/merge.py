@@ -244,11 +244,20 @@ def _null_fill(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 def _merge_agg(df: DataFrame, key_cols: list[str], carry_cols: list[str],
-               order_cols: list[str]) -> DataFrame:
+               order_cols: list[str], tie_wins: str = "state") -> DataFrame:
     """One LWW+merge aggregation level. ``carry_cols`` are the payload+meta
     columns riding inside the winner struct; ``_n_s`` (batch-row count) and
-    ``_has_t`` fold additively so the salted pre-phase composes."""
-    order = F.struct(*[F.col(c) for c in order_cols], F.col("_src_rank"))
+    ``_has_t`` fold additively so the salted pre-phase composes.
+
+    ``tie_wins``: exact-order ties go to stored state (``_src_rank`` asc in
+    the winner order — re-deliveries die) or to the batch row (rank negated
+    — the replication apply for coalesce-source changelogs, see
+    EngineConfig.tie_wins)."""
+    tie = (
+        F.col("_src_rank") if tie_wins == "state"
+        else (-F.col("_src_rank")).cast("int")
+    )
+    order = F.struct(*[F.col(c) for c in order_cols], tie.alias("_tie"))
     winner = F.max_by(
         F.struct(*[F.col(c) for c in carry_cols], F.col("_src_rank")), order
     ).alias("_w")
@@ -469,9 +478,11 @@ def apply_batch(
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
                           F.lit(config.n_salt))
             pre = _merge_agg(unioned.withColumn("_salt", salt),
-                             [*key_cols, "_salt"], carry_cols, order_cols)
+                             [*key_cols, "_salt"], carry_cols, order_cols,
+                             tie_wins=config.tie_wins)
             unioned = pre.drop("_salt")
-        resolved = _merge_agg(unioned, key_cols, carry_cols, order_cols)
+        resolved = _merge_agg(unioned, key_cols, carry_cols, order_cols,
+                              tie_wins=config.tie_wins)
         resolved = resolved.withColumn("_changed", F.col("_src_rank") == 0)
 
     obs_m = Observation(f"merge_{batch_id}_{uuid.uuid4().hex[:6]}")

@@ -32,9 +32,14 @@ guarantees:
   the apply costs O(span + touched buckets after range pruning) — the
   replica lags by one poll interval and never re-reads the source table.
 
-Coalesce-mode (field-level merge) source tables are rejected: their
-changelog is documented approximate across multi-batch stale fills, which
-replication must not launder into "exact".
+Coalesce-mode (field-level merge) sources replicate exactly too: the
+changelog's per-span NET state is the source's resolved fold (stored
+versions tie-break on commit recency, so a stale fill IS visible as a
+payload change at an unchanged winning order), and the replica applies
+those order-tied re-emissions with ``tie_wins="batch"`` so fills land as
+newer stored versions instead of dying on the state-wins-ties rule — the
+apply-side tie semantics, not the changelog, were what blocked coalesce
+replication.
 """
 
 from __future__ import annotations
@@ -58,7 +63,15 @@ SYNC_CURSOR_DIR = "_sync"
 
 def _replica_config(src: TranscriptTable, base: EngineConfig) -> EngineConfig:
     """The apply-side config must mirror the SOURCE's layout (key/order
-    cols drive the stored row shape; bucket count the file layout)."""
+    cols drive the stored row shape; bucket count the file layout).
+
+    A coalesce-mode source's changelog legitimately re-emits a key at an
+    UNCHANGED winning (ts, event_seq) after a stale fill changed its
+    payload; the replica must let those batch rows beat the exact-order
+    tie against its stored state (``tie_wins="batch"``) or fills would be
+    silently dropped. Value-idempotent under span re-delivery because the
+    re-emitted folded state is byte-identical. Row-mode sources keep
+    state-wins-ties: their changelog only repeats an order on re-delivery."""
     from dataclasses import replace
 
     return replace(
@@ -67,6 +80,7 @@ def _replica_config(src: TranscriptTable, base: EngineConfig) -> EngineConfig:
         order_cols=tuple(src.snapshot.order_cols),
         n_buckets=src.snapshot.n_buckets,
         column_merge="row",
+        tie_wins="batch" if base.column_merge == "coalesce" else base.tie_wins,
     )
 
 
@@ -126,12 +140,13 @@ def sync_table(
 ) -> dict:
     """Advance the replica at ``dst_root`` to the source's current
     snapshot. Safe to re-run any time (idempotent); call in a loop for a
-    follower. Returns the applied spans + merge counters."""
-    if config.column_merge == "coalesce":
-        raise ValueError(
-            "sync_table requires a row-mode source: a coalesce-mode table's "
-            "changelog is approximate across multi-batch stale fills"
-        )
+    follower. Returns the applied spans + merge counters.
+
+    Coalesce-mode sources replicate exactly: each changelog span carries
+    the source's RESOLVED folded state per changed key (stored-version
+    resolution tie-breaks on commit recency, so stale fills are visible),
+    and the replica applies order-tied re-emissions with batch-wins-ties
+    (see :func:`_replica_config`)."""
     src = TranscriptTable.load(src_root)
     cfg = _replica_config(src, config)
     cursor_dir = cursor_dir or os.path.join(dst_root, SYNC_CURSOR_DIR)

@@ -203,12 +203,96 @@ def test_rollback_in_span_syncs_as_deletes(spark, tmp_path, small_cfg):
     ]
 
 
-def test_coalesce_source_rejected(spark, tmp_path, small_cfg):
+def test_coalesce_stale_fill_replicates(spark, tmp_path, small_cfg):
+    """A coalesce-mode source fills a null column from a STALE event
+    without advancing the key's winning order; the changelog re-emits the
+    key at that unchanged order and the replica must apply it (batch wins
+    the exact-order tie) instead of silently dropping the fill."""
     from dataclasses import replace
 
-    cfg = replace(small_cfg, column_merge="coalesce")
-    with pytest.raises(ValueError, match="row-mode"):
-        sync_table(spark, str(tmp_path / "s"), str(tmp_path / "d"), config=cfg)
+    import pandas as pd
+
+    cfg = replace(small_cfg, column_merge="coalesce", merge_mode="mor")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    TranscriptTable.create(src, n_buckets=cfg.n_buckets)
+
+    b1 = pd.DataFrame([{
+        "op": "I", "conv_id": "c0", "turn_idx": 0, "role": "user",
+        "text": "winner", "tool": None,
+        "ts": pd.Timestamp("2026-01-01 00:00:10"), "event_seq": 10,
+    }])
+    apply_batch(spark, src, spark.createDataFrame(b1), 1, config=cfg)
+    sync_table(spark, src, dst, config=cfg)
+    assert verify_replica(spark, src, dst)["ok"]
+
+    # stale event (lower order) carries ONLY the tool column: coalesce
+    # fills the null without moving the winning (ts, event_seq)
+    b2 = pd.DataFrame([{
+        "op": "U", "conv_id": "c0", "turn_idx": 0, "role": None,
+        "text": None, "tool": "calculator",
+        "ts": pd.Timestamp("2026-01-01 00:00:05"), "event_seq": 5,
+    }])
+    apply_batch(spark, src, spark.createDataFrame(b2), 2, config=cfg)
+    src_state = TranscriptTable.load(src).scan(spark).collect()
+    assert [(r.text, r.tool) for r in src_state] == [("winner", "calculator")]
+
+    r = sync_table(spark, src, dst, config=cfg)
+    assert len(r["spans"]) >= 1
+    rep = verify_replica(spark, src, dst)
+    assert rep["ok"], rep
+    dst_state = TranscriptTable.load(dst).scan(spark).collect()
+    assert [(r.text, r.tool) for r in dst_state] == [("winner", "calculator")]
+    # re-running the sync stays convergent (value-idempotent ties)
+    sync_table(spark, src, dst, config=cfg)
+    assert verify_replica(spark, src, dst)["ok"]
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_sync_coalesce_random_schedule_converges(spark, tmp_path, small_cfg, seed):
+    """Randomized apply/sync interleaving over a coalesce-mode source with
+    partial (single-column) updates delivered out of order: the replica
+    converges verify-exact at the end, fills included."""
+    import random
+
+    import pandas as pd
+
+    from dataclasses import replace
+
+    rng = random.Random(seed)
+    cfg = replace(small_cfg, column_merge="coalesce", merge_mode="mor")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TranscriptTable.create(src, n_buckets=cfg.n_buckets)
+
+    events = []
+    for seq in range(rng.randint(40, 80)):
+        op = rng.choice(["I", "U", "U", "U", "D"])
+        partial = op == "U" and rng.random() < 0.6
+        events.append({
+            "op": op, "conv_id": f"c{rng.randint(0, 5)}",
+            "turn_idx": rng.randint(0, 3),
+            "role": None if op == "D" or partial else "user",
+            "text": None if op == "D" or (partial and rng.random() < 0.5)
+            else f"t{seq}",
+            "tool": f"tool{seq}" if partial else None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
+            "event_seq": seq,
+        })
+    # out-of-order delivery: shuffle events across batches so stale fills
+    # genuinely cross batch boundaries
+    rng.shuffle(events)
+    k = 6
+    size = (len(events) + k - 1) // k
+    batches = [events[i:i + size] for i in range(0, len(events), size)]
+
+    for i, batch in enumerate(batches):
+        apply_batch(spark, src, spark.createDataFrame(pd.DataFrame(batch)),
+                    batch_id=i + 1, config=cfg)
+        if rng.random() < 0.5:
+            sync_table(spark, src, dst, config=cfg)
+    sync_table(spark, src, dst, config=cfg)
+    rep = verify_replica(spark, src, dst)
+    assert rep["ok"], (seed, rep)
 
 
 def test_cli_sync_and_verify(tmp_path, binlog_basic):
