@@ -188,7 +188,7 @@ def byte_histogram_features(
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("kind", T.StringType()),          # bmp | wav
+        T.StructField("kind", T.StringType()),          # bmp | png | wav
         T.StructField("width", T.IntegerType()),        # bmp
         T.StructField("height", T.IntegerType()),       # bmp
         T.StructField("channels", T.IntegerType()),     # wav
@@ -236,6 +236,93 @@ def _decode_bmp(payload: bytes, grid: int) -> dict:
     }
 
 
+def _decode_png(payload: bytes, grid: int) -> dict:
+    """Non-interlaced 8-bit gray/RGB/RGBA PNG -> grid x grid luma features.
+
+    PNG's compression IS stdlib zlib; the rest is chunk walking plus the
+    five scanline defilters (none/sub/up/average/paeth, RFC 2083 §6) — so
+    the 'compressed codecs need PIL' gate genuinely does not apply to this
+    subset. Palette, 16-bit and Adam7-interlaced images stay env-gated
+    (they need tables/passes PIL provides)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, bitd, color, _comp, _filt, interlace = ihdr
+    if bitd != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG decodes "
+            f"codec-free (bit_depth={bitd}, color_type={color}, "
+            f"interlace={interlace}; palette/16-bit/Adam7 need PIL)"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data shorter than IHDR dimensions")
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # up — vectorized (no left dependency)
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # sub/average/paeth carry a left dependency
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = int(prev[i])
+                if f == 1:
+                    v = line[i] + a
+                elif f == 3:
+                    v = line[i] + ((a + b) >> 1)
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    v = line[i] + pred
+                cur[i] = v & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        px[y] = cur
+        prev = cur
+    px = px.reshape(h, w, nch)
+    if nch == 1:
+        luma = px[:, :, 0].astype(np.float64)
+    else:  # RGB order (alpha ignored for luma)
+        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2])
+    yi = (np.arange(grid) * h) // grid
+    xi = (np.arange(grid) * w) // grid
+    small = luma[np.ix_(yi, xi)] / 255.0
+    return {
+        "kind": "png", "width": int(w), "height": int(h),
+        "features": [float(v) for v in small.ravel()],
+    }
+
+
 def _decode_wav(payload: bytes, grid: int) -> dict:
     """WAV PCM -> per-window RMS energy features (stdlib wave + numpy)."""
     import io
@@ -278,10 +365,13 @@ def decode_media(
 
     * ``BM``   -> 24-bit uncompressed BMP: real pixel decode + luma
                   nearest-neighbour resize to a ``grid x grid`` feature map
+    * PNG      -> non-interlaced 8-bit gray/RGB/RGBA: real zlib-inflate +
+                  scanline defilter decode (stdlib zlib IS the codec) +
+                  the same luma feature map
     * ``RIFF/WAVE`` -> 16-bit PCM WAV: real sample decode + ``grid``
                   windowed-RMS energy features
     * anything else -> NotImplementedError naming the missing codec libs
-      (PNG/JPEG/MP4 need PIL/ffmpeg, absent in this container)
+      (JPEG/MP4/palette-or-interlaced PNG need PIL/ffmpeg, absent here)
 
     Features land in the same ``array<float>`` shape as text embeddings, so
     decoded media feeds vector.py ANN / near-dup operators directly.
@@ -302,6 +392,8 @@ def decode_media(
                     b = bytes(payload)
                     if b[:2] == b"BM":
                         d = _decode_bmp(b, grid)
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        d = _decode_png(b, grid)
                     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         d = _decode_wav(b, grid)
                     else:

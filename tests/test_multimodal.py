@@ -198,10 +198,16 @@ def test_decode_media_mixed_batch_and_unknown_raises(spark):
     assert kinds == {1: "bmp", 2: "wav"}
 
     bad = spark.createDataFrame(
-        [(3, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], ["doc_id", "payload"]
+        [(3, bytearray(b"GIF89a-no-codec-here"))], ["doc_id", "payload"]
     )
     with _pytest.raises(Exception, match="codec libraries"):
         decode_media(bad).collect()
+    # a PNG header with no chunks is malformed, not env-gated
+    trunc = spark.createDataFrame(
+        [(4, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], ["doc_id", "payload"]
+    )
+    with _pytest.raises(Exception, match="truncated PNG"):
+        decode_media(trunc).collect()
 
 
 def test_decoded_features_feed_ann(spark):
@@ -236,7 +242,7 @@ def test_decode_media_errors_skip(spark):
     rows = [
         (1, bytearray(bmp)),
         (2, None),                                   # null payload
-        (3, bytearray(b"\x89PNG\r\n\x1a\nxxxx")),    # unknown container
+        (3, bytearray(b"GIF89a-no-codec-here")),     # unknown container
         (4, bytearray(b"BMgarbage")),                # malformed BMP
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -248,3 +254,134 @@ def test_decode_media_errors_skip(spark):
         decode_media(df, errors="raise").collect()
     with _pytest.raises(ValueError, match="raise|skip"):
         decode_media(df, errors="ignore")
+
+
+def _make_png(w, h, pixfn, color_type=2, filters=None):
+    """Minimal PNG encoder: non-interlaced 8-bit gray(0)/RGB(2)/RGBA(6),
+    one IDAT, with a chosen scanline filter per row (default cycles through
+    all five types so the decoder's defilters are all exercised)."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            px = pixfn(x, y)
+            row.extend(px if isinstance(px, (tuple, list)) else (px,))
+        assert len(row) == w * nch
+        rows.append(row)
+
+    filters = filters or [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = [0] * (w * nch)
+    for y, cur in enumerate(rows):
+        f = filters[y]
+        raw.append(f)
+        for i, x in enumerate(cur):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((x - pred) & 0xFF)
+        prev = cur
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_media_png_exact_pixels_all_filters(spark):
+    """Synthesized RGB PNG cycling through all five scanline filter types:
+    decode recovers the exact pixels (grid == dims makes features the raw
+    per-pixel luma)."""
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    w = h = 10  # 10 rows -> every filter type appears twice
+
+    def pix(x, y):
+        return ((7 * x + 13 * y) % 256, (91 + 5 * x * y) % 256,
+                (200 - 3 * x + y) % 256)
+
+    png = _make_png(w, h, pix, color_type=2)
+    df = spark.createDataFrame([(1, bytearray(png))], ["doc_id", "payload"])
+    row = decode_media(df, grid=w).collect()[0]
+    assert row["kind"] == "png" and row["width"] == w and row["height"] == h
+    got = row["features"]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pix(x, y)
+            luma = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            assert abs(got[y * w + x] - luma) < 1e-6, (x, y)
+
+
+def test_decode_media_png_gray_and_rgba(spark):
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    gray = _make_png(4, 4, lambda x, y: 16 * (x + y), color_type=0)
+    # RGBA with varying alpha: alpha must not leak into luma
+    rgba = _make_png(4, 4, lambda x, y: (255, 0, 0, 10 * x), color_type=6)
+    df = spark.createDataFrame(
+        [(1, bytearray(gray)), (2, bytearray(rgba))], ["doc_id", "payload"]
+    )
+    rows = {r["doc_id"]: r for r in decode_media(df, grid=4).collect()}
+    assert rows[1]["kind"] == "png"
+    assert abs(rows[1]["features"][0] - 0.0) < 1e-6
+    assert abs(rows[1]["features"][5] - 32 / 255) < 1e-6  # (1,1)
+    red_luma = 0.299 * 255 / 255
+    assert all(abs(v - red_luma) < 1e-6 for v in rows[2]["features"])
+
+
+def test_decode_media_png_unsupported_variants_env_gated(spark):
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    # interlaced flag set -> honestly env-gated, not silently wrong
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+           + chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, bytearray(png))], ["doc_id", "payload"])
+    with _pytest.raises(Exception, match="Adam7|interlace|need PIL"):
+        decode_media(df).collect()
+
+
+def test_decode_media_png_mixed_with_bmp_wav(spark):
+    """Mixed-batch dispatch stays green with the third real codec."""
+    from sfr_ingest_pipeline_spark.functions.multimodal import decode_media
+
+    bmp = _make_bmp(4, 4, lambda x, y: (10, 20, 30))
+    wav = _make_wav(4000, 100, lambda i: 0.25)
+    png = _make_png(4, 4, lambda x, y: (50, 60, 70))
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(png))],
+        ["doc_id", "payload"],
+    )
+    kinds = {r["doc_id"]: r["kind"] for r in decode_media(df).collect()}
+    assert kinds == {1: "bmp", 2: "wav", 3: "png"}

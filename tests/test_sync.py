@@ -368,3 +368,61 @@ def test_sync_random_schedule_converges(spark, tmp_path, small_cfg, seed):
     sync_table(spark, src, dst, config=small_cfg)
     rep = verify_replica(spark, src, dst)
     assert rep["ok"], (seed, rep)
+
+
+def test_follower_kill_midspan_and_restart_reconverges(tmp_path, binlog_basic):
+    """`cli sync --follow` killed (SIGKILL) while spans are in flight must
+    reconverge exactly on restart: the cursor only advances after a span's
+    apply, and apply_batch is idempotent per span end, so wherever the kill
+    lands — mid-apply, between apply and cursor-commit, or idle — a fresh
+    sync replays at most one span as a no-op and converges."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    binlog, _ = binlog_basic
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    wal = str(tmp_path / "wal")
+
+    def run(*args):
+        p = subprocess.run(
+            [sys.executable, "-m", "sfr_ingest_pipeline_spark.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    _stage(binlog, wal, 2)
+    run("replay", "--binlog", wal, "--table", src,
+        "--checkpoint", str(tmp_path / "ckpt"), "--master", "local[4]")
+
+    follower = subprocess.Popen(
+        [sys.executable, "-m", "sfr_ingest_pipeline_spark.cli", "sync",
+         "--src", src, "--dst", dst, "--follow", "--poll-sec", "0.2",
+         "--step", "per_commit", "--master", "local[4]"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        # wait for the first round (bootstrap applied)
+        line = follower.stdout.readline()
+        assert json.loads(line)["round"] == 1
+        # land more source waves while the follower is live, then SIGKILL
+        # it quickly — per_commit stepping + 0.2s polling makes an
+        # in-flight span overwhelmingly likely
+        _stage(binlog, wal)
+        run("replay", "--binlog", wal, "--table", src,
+            "--checkpoint", str(tmp_path / "ckpt"), "--master", "local[4]")
+        _time.sleep(1.0)
+        follower.send_signal(signal.SIGKILL)
+        follower.wait(timeout=30)
+    finally:
+        if follower.poll() is None:
+            follower.kill()
+
+    # restart: one fresh sync must converge the replica exactly
+    rep = run("sync", "--src", src, "--dst", dst, "--verify",
+              "--master", "local[4]")
+    assert rep["verify"]["ok"] is True, rep
