@@ -69,25 +69,55 @@ def minhash_signature(col: Column | str, band: int, k: int = 5) -> Column:
 
 
 def minhash_bands(
-    df: DataFrame, text_col: str, n_bands: int = 4, k: int = 5
+    df: DataFrame,
+    text_col: str,
+    n_bands: int = 4,
+    k: int = 5,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """Append band signature columns sig_0..sig_{n-1} (n_bands <= 4).
+    """Append band signature columns sig_0..sig_{n-1}.
 
-    The md5-per-shingle array is materialized ONCE in an intermediate
-    projection and each band takes its min over a different digest slice —
-    Catalyst does not CSE the shingle expression across columns, so without
-    this the shingle+md5 work would run n_bands times."""
-    assert n_bands <= 4, "one md5 yields four 8-hex-char band slices"
-    md5s = F.transform(shingles(text_col, k), lambda s: F.md5(s))
-    out = df.withColumn("_md5s", md5s)
-    for b in range(n_bands):
+    ``rows_per_band`` (the classic LSH ``r``) concatenates r independent
+    MinHash minima into each band signature, so an unrelated pair collides
+    in a band with probability J^r instead of J. r=1 is only safe for small
+    corpora: a band bucket is exactly the set of docs whose minimum shingle
+    is the same shingle, so bucket population grows LINEARLY with corpus
+    size over a fixed shingle vocabulary (measured: ~12 docs/bucket at 5k
+    docs, ~125 at 50k — just under the 256 cap, i.e. maximal quadratic
+    verify work — and past the cap at 1M, collapsing recall). r=2 keeps the
+    planted-near-dup detection probability 1-(1-J^2)^b high at J >= 0.7
+    while false-candidate bucket sizes stay O(1) in corpus size. Callers on
+    the corpus path (``lsh_candidate_pairs``) default to r=2.
+
+    Hashing cost: the md5-per-shingle arrays are materialized ONCE in an
+    intermediate projection (Catalyst does not CSE the shingle expression
+    across columns); hash h = b*r + j takes slice h%4 of digest h//4, where
+    digest d is md5(shingle + d * chr(1)) — ceil(n_bands*r/4) md5 passes
+    per shingle, byte-identical in DuckDB for the oracle twins."""
+    n_hashes = n_bands * rows_per_band
+    n_digests = (n_hashes + 3) // 4
+
+    def _digest_fn(suffix: str):
+        if suffix:
+            return lambda s: F.md5(F.concat(s, F.lit(suffix)))
+        return lambda s: F.md5(s)
+
+    def _slice_fn(sl: int):
+        return lambda x: F.substring(x, 1 + 8 * sl, 8)
+
+    out = df
+    for d in range(n_digests):
         out = out.withColumn(
-            f"sig_{b}",
-            F.array_min(
-                F.transform(F.col("_md5s"), lambda h: F.substring(h, 1 + 8 * b, 8))
-            ),
+            f"_md5s_{d}", F.transform(shingles(text_col, k), _digest_fn("\x01" * d))
         )
-    return out.drop("_md5s")
+    for b in range(n_bands):
+        mins = []
+        for j in range(rows_per_band):
+            h = b * rows_per_band + j
+            d, sl = h // 4, h % 4
+            mins.append(F.array_min(F.transform(F.col(f"_md5s_{d}"), _slice_fn(sl))))
+        out = out.withColumn(f"sig_{b}", mins[0] if rows_per_band == 1 else F.concat(*mins))
+    return out.drop(*[f"_md5s_{d}" for d in range(n_digests)])
 
 
 def lsh_candidate_pairs(
@@ -97,6 +127,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     k: int = 5,
     max_bucket_size: int = 256,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing ANY band signature.
 
@@ -130,7 +161,7 @@ def lsh_candidate_pairs(
     reps = groups.select(
         F.col("_canon").alias(id_col), F.col("_text").alias(text_col)
     )
-    sigs = minhash_bands(reps, text_col, n_bands, k)
+    sigs = minhash_bands(reps, text_col, n_bands, k, rows_per_band)
     pairs = exact_pairs
     for b in range(n_bands):
         sb = sigs.select(F.col(id_col), F.col(f"sig_{b}").alias("sig"))

@@ -1237,9 +1237,18 @@ ORACLE_SQL.update({
 })
 
 
-def _lsh_band_sig_sql(b: int) -> str:
-    """DuckDB twin of dedup.minhash_signature over a precomputed _md5s list."""
-    return f"list_min(list_transform(_md5s, h -> substr(h, {1 + 8 * b}, 8)))"
+def _lsh_band_sig_sql(b: int, rows_per_band: int = 2) -> str:
+    """DuckDB twin of dedup.minhash_bands' band signature: r concatenated
+    minima; hash h = b*r + j takes slice h%4 of digest list _md5s_{h//4}
+    (same digest/slice mapping as the Spark side, byte-identical)."""
+    mins = []
+    for j in range(rows_per_band):
+        h = b * rows_per_band + j
+        d, sl = h // 4, h % 4
+        mins.append(
+            f"list_min(list_transform(_md5s_{d}, h -> substr(h, {1 + 8 * sl}, 8)))"
+        )
+    return " || ".join(mins)
 
 
 _LSH_BAND_PAIRS_SQL = " UNION ALL ".join(
@@ -1268,7 +1277,9 @@ ORACLE_SQL.update({
         ), reps AS (
             SELECT _canon AS doc_id,
                    list_transform(range(1, greatest(length(_text)-4,1)+1),
-                                  i -> md5(substr(_text, i, 5))) AS _md5s
+                                  i -> md5(substr(_text, i, 5))) AS _md5s_0,
+                   list_transform(range(1, greatest(length(_text)-4,1)+1),
+                                  i -> md5(substr(_text, i, 5) || chr(1))) AS _md5s_1
             FROM grp
         ), sigs AS (
             SELECT doc_id, {_lsh_band_sig_sql(0)} AS sig_0,

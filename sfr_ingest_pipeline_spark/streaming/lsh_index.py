@@ -66,6 +66,7 @@ class IncrementalLshIndex:
         n_bands: int = 4,
         k: int = 5,
         max_bucket_size: int = 256,
+        rows_per_band: int = 2,
     ):
         self.index_root = index_root
         self.table_root = table_root
@@ -73,6 +74,7 @@ class IncrementalLshIndex:
         self.n_bands = n_bands
         self.k = k
         self.max_bucket_size = max_bucket_size
+        self.rows_per_band = rows_per_band
         os.makedirs(index_root, exist_ok=True)
 
     # ------------------------------------------------------------- cursor
@@ -94,7 +96,8 @@ class IncrementalLshIndex:
         tmp = f"{self._state_path}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"last_snapshot_id": snapshot_id,
-                       "n_bands": self.n_bands, "k": self.k}, f)
+                       "n_bands": self.n_bands, "k": self.k,
+                       "rows_per_band": self.rows_per_band}, f)
         os.replace(tmp, self._state_path)
 
     # ---------------------------------------------------------- signature
@@ -112,7 +115,8 @@ class IncrementalLshIndex:
             self._doc_id().alias("doc_id"),
             F.col(self.text_col).alias("_text"),
         ).withColumn("_sha", sha_key("_text"))
-        sigs = minhash_bands(base, "_text", self.n_bands, self.k)
+        sigs = minhash_bands(base, "_text", self.n_bands, self.k,
+                             self.rows_per_band)
         return sigs.drop("_text").withColumn("_dead", F.lit(False))
 
     def _tombstones(self, keys: DataFrame) -> DataFrame:

@@ -203,3 +203,55 @@ def test_decontaminate_hits_broadcasts(spark):
     assert all(v >= 1 for v in got.values())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rows_per_band_selectivity_at_corpus_scale(spark):
+    """The round-5 LSH fix: with rows_per_band=1 a band bucket is 'docs
+    whose minimum shingle is shingle s', so bucket population grows
+    linearly with corpus size over a fixed shingle vocabulary and false
+    candidates explode (measured on a 50k-doc real-token corpus: ~125
+    docs/bucket, multi-minute verify joins). rows_per_band=2 makes a band
+    collision require BOTH minima equal (probability J^2), keeping false
+    buckets O(1) while planted high-J near-dups still collide."""
+    n_docs = 6000
+    # zipf-tail vocabulary over a saturated shingle pool (the growth regime
+    # every fixed-vocabulary corpus reaches at scale): random-pair jaccard
+    # ~0.05, mid-common shingles shared by dozens of docs
+    word = (
+        "concat('tok', cast(pow(20000.0, 0.45 + 0.55 * "
+        "pmod(xxhash64(doc_id, i), 1000)/1000.0) as bigint))"
+    )
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    docs = base.select(
+        "doc_id",
+        F.expr(f"array_join(transform(sequence(1, 40), i -> {word}), ' ')").alias("text"),
+    )
+    # plant 60 near-dup twins: doc_id >= n_docs, copy of (doc_id - n_docs)
+    # with one word rewritten -> char-5-gram jaccard ~0.9
+    word_t = word.replace("doc_id", f"(id - {n_docs})")
+    twins = spark.range(n_docs, n_docs + 60).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, 40), "
+            f"i -> if(i = 7, 'REWRITTEN', {word_t})), ' ')"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(twins).cache()
+    corpus.count()
+    planted = {(i, i + n_docs) for i in range(60)}
+
+    n_r1 = D.lsh_candidate_pairs(
+        corpus, "doc_id", "text", rows_per_band=1
+    ).count()
+    got_r2 = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(
+            corpus, "doc_id", "text", rows_per_band=2
+        ).collect()
+    }
+    corpus.unpersist()
+    found = len(planted & got_r2)
+    # measured at this seed: r=1 -> ~1.02M candidate pairs, r=2 -> ~128k,
+    # both with 60/60 planted-twin recall; assert with margin
+    assert found >= 56, f"r=2 found only {found}/60 planted twins"
+    assert len(got_r2) < n_r1 / 5, (len(got_r2), n_r1)
