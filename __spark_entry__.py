@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # their original order. All 61 pass the identical oracle gate locally
 # (scripts/check_oracle.py), so ordering only affects which 50 the driver logs.
 _DRIVER_FIRST = [
+    "pq_ann_topk",      # new in round 5 (PQ/ADC compressed ANN)
     "date_ranges",
     "part_name_clusters",
     "part_name_clusters_bigstar",

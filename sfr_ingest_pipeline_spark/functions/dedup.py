@@ -68,12 +68,28 @@ def minhash_signature(col: Column | str, band: int, k: int = 5) -> Column:
     )
 
 
+def gram_array(col: Column | str, k: int = 5, mode: str = "char") -> Column:
+    """The shingle set LSH/Jaccard operate on: char k-shingles or word
+    k-grams. Word grams are the corpus-scale setting (Gopher / RefinedWeb /
+    SlimPajama all minhash word n-grams): the char-5 pool tops out at
+    |alphabet|^5, so once a corpus saturates it every pair of documents
+    shares common shingles and random-pair Jaccard sits near 0.1 — measured
+    on a 50k-doc real-token corpus: ~4.7M false LSH candidates at r=2 with
+    char shingles vs planted-pairs-only with word grams."""
+    if mode == "char":
+        return shingles(col, k)
+    if mode == "word":
+        return word_ngrams(col, k)
+    raise ValueError(f"unknown gram mode {mode!r}: char|word")
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str,
     n_bands: int = 4,
     k: int = 5,
     rows_per_band: int = 1,
+    mode: str = "char",
 ) -> DataFrame:
     """Append band signature columns sig_0..sig_{n-1}.
 
@@ -108,7 +124,8 @@ def minhash_bands(
     out = df
     for d in range(n_digests):
         out = out.withColumn(
-            f"_md5s_{d}", F.transform(shingles(text_col, k), _digest_fn("\x01" * d))
+            f"_md5s_{d}",
+            F.transform(gram_array(text_col, k, mode), _digest_fn("\x01" * d)),
         )
     for b in range(n_bands):
         mins = []
@@ -128,8 +145,15 @@ def lsh_candidate_pairs(
     k: int = 5,
     max_bucket_size: int = 256,
     rows_per_band: int = 2,
+    mode: str = "word",
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing ANY band signature.
+
+    Defaults are the corpus-scale settings (round-5 measurements): word
+    5-gram shingles (``mode``, see gram_array — char shingle pools saturate
+    and drown the bands in false candidates past ~10k docs) and r=2 minima
+    per band (see minhash_bands — r=1 bucket population grows linearly with
+    corpus size).
 
     Hot-bucket guard (the classic LSH quadratic trap — thousands of
     identical/near-identical docs sharing a signature would emit O(n²)
@@ -161,7 +185,7 @@ def lsh_candidate_pairs(
     reps = groups.select(
         F.col("_canon").alias(id_col), F.col("_text").alias(text_col)
     )
-    sigs = minhash_bands(reps, text_col, n_bands, k, rows_per_band)
+    sigs = minhash_bands(reps, text_col, n_bands, k, rows_per_band, mode)
     pairs = exact_pairs
     for b in range(n_bands):
         sb = sigs.select(F.col(id_col), F.col(f"sig_{b}").alias("sig"))
@@ -179,10 +203,11 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
-def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
-    """Jaccard similarity of the k-shingle sets of two text columns."""
-    sa = F.array_distinct(shingles(a, k))
-    sb = F.array_distinct(shingles(b, k))
+def ngram_jaccard(a: Column, b: Column, k: int = 5, mode: str = "char") -> Column:
+    """Jaccard similarity of the k-gram sets of two text columns (char
+    shingles or word n-grams, matching gram_array)."""
+    sa = F.array_distinct(gram_array(a, k, mode))
+    sb = F.array_distinct(gram_array(b, k, mode))
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -353,10 +378,17 @@ def word_ngrams(col: Column | str, n: int = 5) -> Column:
     (range + list slice + array_to_string) for exact oracles."""
     c = F.col(col) if isinstance(col, str) else col
     ws = F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(ws, i, n), " "),
-    )
+    # guard the short-doc case explicitly: sequence(1, 0) DESCENDS in Spark
+    # ([1, 0] -> slice(ws, 0, n) throws INVALID_PARAMETER_VALUE), so a doc
+    # with < n words must return an empty array, matching the DuckDB twin's
+    # range(1, 1)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
 
 
 def cross_doc_ngram_dup(

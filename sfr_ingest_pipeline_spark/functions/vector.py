@@ -392,3 +392,275 @@ def train_ivf_centroids(
         [(cid, vec) for cid, vec in current],
         f"{id_col} long, {vec_col} array<float>",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed ANN for 100 TB embedding corpora.
+# Splits each vector into m subvectors, k-means-quantizes each subspace to
+# kc centroids, and stores only the m code bytes (dim * 4 bytes -> m bytes,
+# 32x at dim=64/m=8). Queries score candidates with an ADC (asymmetric
+# distance computation) lookup table — no corpus-side float arrays touched.
+
+
+def _pq_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    """(1-based start, length) of each subspace slice; dim % m must be 0."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [(s * d + 1, d) for s in range(m)]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance, in double (ordered, so Spark
+    and any mirror produce bit-identical sums)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _codebook_lit(codebook: list[list[float]]) -> Column:
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in codebook
+    ])
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, codes array<int>) — per subspace, the index of the L2-nearest
+    codebook centroid (ties -> lowest index, via array_position of the
+    min). Pure codegen expressions over broadcast codebook literals: the
+    corpus is scanned once, no shuffle, no Python. ``normalize`` encodes
+    the L2-normalized vector so ADC dot products approximate cosine."""
+    m = len(codebooks)
+    d = len(codebooks[0][0]) * m
+    if dim != d:
+        raise ValueError(f"codebooks cover dim {d}, expected {dim}")
+    vec = F.col(vec_col)
+    if normalize:
+        norm = l2_norm(vec)
+        vec = F.transform(vec, lambda x: x.cast("double") / norm)
+    def _dist_fn(sub):
+        return lambda c: _l2sq(sub, c)
+
+    out_codes = []
+    for s, (start, length) in enumerate(_pq_slices(dim, m)):
+        sub = F.slice(vec, start, length)
+        dists = F.transform(_codebook_lit(codebooks[s]), _dist_fn(sub))
+        out_codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return vectors.select(F.col(id_col), F.array(*out_codes).alias("codes"))
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    kc: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd k-means, ALL subspaces trained in
+    the same pass: each iteration assigns every subvector to its nearest
+    centroid with codegen argmin expressions (one corpus scan, no shuffle),
+    then recomputes all m*kc centroids via ONE Arrow mapInPandas
+    partial-sum fold keyed (subspace, cell) — O(partitions * m * kc *
+    dim/m) floats to the driver, combined in sorted order so the trained
+    codebooks are deterministic for a fixed input partitioning (same
+    discipline as train_ivf_centroids). Init: subvector slices of the kc
+    lowest-id vectors. At 100 TB: train on a sample, encode the full
+    corpus once with pq_encode."""
+    import numpy as np
+    import pandas as pd
+
+    sub_dim = dim // m
+    seed_rows = (
+        vectors.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(kc).collect()
+    )
+    if len(seed_rows) < kc:
+        raise ValueError(f"need >= {kc} vectors to seed {kc} centroids")
+
+    def norm_vec(v):
+        a = np.asarray(v, dtype=np.float64)
+        n = float(np.sqrt((a * a).sum()))
+        return (a / n if (normalize and n > 0) else a).tolist()
+
+    seeds = [norm_vec(r[vec_col]) for r in seed_rows]
+    books = [
+        [seeds[j][s * sub_dim:(s + 1) * sub_dim] for j in range(kc)]
+        for s in range(m)
+    ]
+
+    vec = F.col(vec_col)
+    if normalize:
+        nrm = l2_norm(vec)
+        vec = F.transform(vec, lambda x: x.cast("double") / nrm)
+    base = vectors.select(vec.alias("_v")).select(
+        *[
+            F.slice(F.col("_v"), start, length).alias(f"_sub_{s}")
+            for s, (start, length) in enumerate(_pq_slices(dim, m))
+        ]
+    )
+
+    def fold(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc: dict[tuple[int, int], list] = {}
+        for pdf in batches:
+            for s in range(m):
+                codes = pdf[f"_code_{s}"].to_numpy()
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[f"_sub_{s}"]])
+                for cell in np.unique(codes):
+                    sel = mat[codes == cell]
+                    ent = acc.setdefault((s, int(cell)), [0, np.zeros(sub_dim)])
+                    ent[0] += sel.shape[0]
+                    ent[1] += sel.sum(axis=0)
+        if acc:
+            yield pd.DataFrame({
+                "part": pid,
+                "sub": [k[0] for k in acc],
+                "cell": [k[1] for k in acc],
+                "cnt": [v[0] for v in acc.values()],
+                "sums": [v[1].tolist() for v in acc.values()],
+            })
+
+    for _ in range(iters):
+        def _dist_fn(col_name):
+            return lambda c: _l2sq(F.col(col_name), c)
+
+        assigned = base
+        for s in range(m):
+            dists = F.transform(_codebook_lit(books[s]), _dist_fn(f"_sub_{s}"))
+            assigned = assigned.withColumn(
+                f"_code_{s}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        parts = assigned.mapInPandas(
+            fold, "part long, sub int, cell int, cnt long, sums array<double>"
+        ).collect()
+        agg: dict[tuple[int, int], list] = {}
+        for r in sorted(parts, key=lambda r: (r["sub"], r["cell"], r["part"])):
+            ent = agg.setdefault((int(r["sub"]), int(r["cell"])), [0, np.zeros(sub_dim)])
+            ent[0] += r["cnt"]
+            ent[1] = ent[1] + np.asarray(r["sums"], dtype=np.float64)
+        books = [
+            [
+                (agg[(s, j)][1] / agg[(s, j)][0]).tolist()
+                if (s, j) in agg else books[s][j]
+                for j in range(kc)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: per query, score every encoded vector as
+    sum_s LUT[s][code_s] where LUT[s][j] = dot(query_sub_s, codebook[s][j])
+    — the dot-product ADC table, so the score approximates
+    cosine(query, vector) when codes were built over normalized vectors.
+
+    The LUT is computed engine-side per query row (queries are tiny and
+    broadcast); the corpus side touches ONLY the m-byte codes — at 100 TB
+    this is the point: the scan reads a 3-4 order-of-magnitude smaller
+    column, and the only shuffle is the per-query top-k window over
+    candidate rows. With ``refine`` > 0 the top k*refine ADC candidates
+    join back to ``corpus`` for exact-cosine re-ranking (recall recovery
+    at O(k*refine) exact distances per query)."""
+    m = len(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    qnormed = F.transform(F.col("_qvec"), lambda x: x.cast("double") / F.col("_qn"))
+    def _lut_fn(qsub):
+        return lambda c: dot(qsub, c)
+
+    luts = []
+    for s, (start, length) in enumerate(_pq_slices(dim, m)):
+        luts.append(
+            F.transform(_codebook_lit(codebooks[s]), _lut_fn(F.slice(qnormed, start, length)))
+        )
+    q = q.select("query_id", F.array(*luts).alias("_lut"))
+
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("_lut"),
+                    lambda c, l: F.element_at(l, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if corpus is None:
+        raise ValueError("refine > 0 requires the corpus vectors")
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine)
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn2"),
+    )
+    exact = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id", "adc_score",
+            cosine_prenormed(
+                F.col("_qv"), F.col("_cvec"), F.col("_qn2"), F.col("_cn")
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -631,10 +631,12 @@ def q_purchase_view_attribution(spark, sf_dir):
 
 def q_minhash_lsh_dedup_pairs(spark, sf_dir):
     """The FULL MinHash+LSH dedup pipeline as one query (task-brief dedup
-    family): shingle -> md5-slice band minima -> band-bucket equi-join with
-    hot-bucket guard (functions/dedup.py lsh_candidate_pairs) -> exact
-    n-gram-Jaccard verification >= 0.5. The DuckDB twin mirrors every stage
-    byte-for-byte (same md5 slices, same bucket cap)."""
+    family): word-5-gram shingles (the corpus-scale setting — see
+    functions/dedup.py gram_array for the measured char-shingle saturation
+    rationale) -> md5-slice r=2 band minima -> band-bucket equi-join with
+    hot-bucket guard (lsh_candidate_pairs) -> exact word-5-gram-Jaccard
+    verification >= 0.5. The DuckDB twin mirrors every stage byte-for-byte
+    (same md5 slices, same bucket cap, same gram construction)."""
     docs = _t(spark, sf_dir, "documents")
     cand = D.lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4, k=5)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
@@ -644,7 +646,7 @@ def q_minhash_lsh_dedup_pairs(spark, sf_dir):
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            D.ngram_jaccard(F.col("_ta"), F.col("_tb"), 5).alias("_j"),
+            D.ngram_jaccard(F.col("_ta"), F.col("_tb"), 5, mode="word").alias("_j"),
         )
     )
     return scored.filter(F.col("_j") >= 0.5).select(
@@ -1275,12 +1277,16 @@ ORACLE_SQL.update({
             SELECT g._canon AS id_a, b.doc_id AS id_b
             FROM base b JOIN grp g USING (_sha) WHERE b.doc_id != g._canon
         ), reps AS (
+            -- word-5-gram shingles (dedup.word_ngrams twin): empty for
+            -- docs under 5 words, exactly like the Spark side
             SELECT _canon AS doc_id,
-                   list_transform(range(1, greatest(length(_text)-4,1)+1),
-                                  i -> md5(substr(_text, i, 5))) AS _md5s_0,
-                   list_transform(range(1, greatest(length(_text)-4,1)+1),
-                                  i -> md5(substr(_text, i, 5) || chr(1))) AS _md5s_1
-            FROM grp
+                   list_transform(range(1, greatest(len(_ws)-4, 0)+1),
+                                  i -> md5(array_to_string(_ws[i:i+4], ' '))) AS _md5s_0,
+                   list_transform(range(1, greatest(len(_ws)-4, 0)+1),
+                                  i -> md5(array_to_string(_ws[i:i+4], ' ') || chr(1))) AS _md5s_1
+            FROM (SELECT _canon,
+                         regexp_extract_all(lower(_text), '[a-z0-9]+') AS _ws
+                  FROM grp)
         ), sigs AS (
             SELECT doc_id, {_lsh_band_sig_sql(0)} AS sig_0,
                    {_lsh_band_sig_sql(1)} AS sig_1,
@@ -1294,9 +1300,11 @@ ORACLE_SQL.update({
         ), shingle_sets AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                       range(1, greatest(length(text)-4,1)+1),
-                       i -> substr(text, i, 5))) AS sh
-            FROM documents
+                       range(1, greatest(len(_ws)-4, 0)+1),
+                       i -> array_to_string(_ws[i:i+4], ' '))) AS sh
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS _ws
+                  FROM documents)
         )
         SELECT id_a, id_b,
                round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -2060,4 +2068,91 @@ ORACLE_SQL["doc_chunks"] = f"""
            CAST(len(list_slice(ws, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}))
                 AS INT) AS n_tokens
     FROM n, unnest(range(n_chunks)) AS t(i)
+"""
+
+
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (functions/vector.py pq_encode/pq_topk):
+    vectors L2-normalized and split into 8 subspaces, each quantized to the
+    matching slice of the 16 lowest-id vectors (fixed codebooks, so the
+    DuckDB twin can replicate them exactly — same trick as ivf_ann_topk's
+    seed centroids; real deployments train with train_pq_codebooks, pinned
+    by pytest). Queries score candidates via the dot-product ADC lookup
+    table over the 8 code bytes only — the 100 TB path never touches
+    corpus float arrays."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+
+    def _norm(v):
+        import math
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        return [float(x) / n for x in v]
+
+    sub = 8
+    books = [
+        [_norm(r["embedding"])[s * sub:(s + 1) * sub] for r in seeds]
+        for s in range(8)
+    ]
+    codes = V.pq_encode(emb, books, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = V.pq_topk(codes, queries, books, k=3, dim=64)
+    return top.select(
+        "query_id", "neighbor_id",
+        F.round("adc_score", 4).alias("adc_score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+QUERIES["pq_ann_topk"] = q_pq_ann_topk
+
+_PQ_L2SQ = (
+    "list_sum(list_transform(range(1, 9), "
+    "i -> (d.sub[i] - c.sub[i]) * (d.sub[i] - c.sub[i])))"
+)
+
+ORACLE_SQL["pq_ann_topk"] = f"""
+    WITH normed AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))) AS v
+        FROM embeddings
+    ), subs AS (
+        SELECT vec_id, s, v[s*8+1 : s*8+8] AS sub
+        FROM normed CROSS JOIN range(8) r(s)
+    ), cb AS (
+        SELECT s, vec_id AS j, sub FROM subs WHERE vec_id < 16
+    ), dists AS (
+        SELECT d.vec_id, d.s, c.j, {_PQ_L2SQ} AS dist
+        FROM subs d JOIN cb c ON d.s = c.s
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+            FROM dists) WHERE rn = 1
+    ), qsubs AS (
+        SELECT vec_id AS query_id, s, sub AS qsub FROM subs WHERE vec_id < 5
+    ), contribs AS (
+        -- LUT[s][code]: dot(query subvector, codebook centroid of the
+        -- DOC's code in subspace s)
+        SELECT q.query_id, d.vec_id AS neighbor_id, d.s,
+               list_dot_product(q.qsub, c.sub) AS contrib
+        FROM codes d
+        JOIN qsubs q ON q.s = d.s
+        JOIN cb c ON c.s = d.s AND c.j = d.code
+        WHERE d.vec_id != q.query_id
+    ), scored AS (
+        -- sequential fold in subspace order (matches the Spark aggregate)
+        SELECT query_id, neighbor_id,
+               list_sum(list(contrib ORDER BY s)) AS adc
+        FROM contribs GROUP BY query_id, neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(adc, 4) AS adc_score,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
 """

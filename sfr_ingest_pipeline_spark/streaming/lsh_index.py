@@ -67,6 +67,7 @@ class IncrementalLshIndex:
         k: int = 5,
         max_bucket_size: int = 256,
         rows_per_band: int = 2,
+        mode: str = "word",
     ):
         self.index_root = index_root
         self.table_root = table_root
@@ -75,6 +76,7 @@ class IncrementalLshIndex:
         self.k = k
         self.max_bucket_size = max_bucket_size
         self.rows_per_band = rows_per_band
+        self.mode = mode
         os.makedirs(index_root, exist_ok=True)
 
     # ------------------------------------------------------------- cursor
@@ -97,7 +99,8 @@ class IncrementalLshIndex:
         with open(tmp, "w") as f:
             json.dump({"last_snapshot_id": snapshot_id,
                        "n_bands": self.n_bands, "k": self.k,
-                       "rows_per_band": self.rows_per_band}, f)
+                       "rows_per_band": self.rows_per_band,
+                       "mode": self.mode}, f)
         os.replace(tmp, self._state_path)
 
     # ---------------------------------------------------------- signature
@@ -116,7 +119,7 @@ class IncrementalLshIndex:
             F.col(self.text_col).alias("_text"),
         ).withColumn("_sha", sha_key("_text"))
         sigs = minhash_bands(base, "_text", self.n_bands, self.k,
-                             self.rows_per_band)
+                             self.rows_per_band, self.mode)
         return sigs.drop("_text").withColumn("_dead", F.lit(False))
 
     def _tombstones(self, keys: DataFrame) -> DataFrame:

@@ -37,7 +37,9 @@ def test_minhash_bands_near_dups_collide(spark):
 def test_lsh_candidate_pairs(spark):
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in D.lsh_candidate_pairs(_docs(spark), "doc_id", "text").collect()
+        for r in D.lsh_candidate_pairs(
+            _docs(spark), "doc_id", "text", mode="char"
+        ).collect()
     }
     assert (1, 2) in pairs
     assert (1, 3) in pairs or (2, 3) in pairs
@@ -84,7 +86,7 @@ def test_lsh_hot_bucket_guard(spark):
     rows.append((20_000, "the quick brown fox jumped over the lazy dog"))  # near dup
     rows.append((30_000, "completely different text about spark engines"))
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = D.lsh_candidate_pairs(df, "doc_id", "text").collect()
+    pairs = D.lsh_candidate_pairs(df, "doc_id", "text", mode="char").collect()
     # linear, not quadratic: 9_999 exact pairs + the near-dup pair(s)
     assert len(pairs) <= 10_001, f"quadratic blowup: {len(pairs)} pairs"
     pset = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -241,12 +243,12 @@ def test_rows_per_band_selectivity_at_corpus_scale(spark):
     planted = {(i, i + n_docs) for i in range(60)}
 
     n_r1 = D.lsh_candidate_pairs(
-        corpus, "doc_id", "text", rows_per_band=1
+        corpus, "doc_id", "text", rows_per_band=1, mode="char"
     ).count()
     got_r2 = {
         (r["id_a"], r["id_b"])
         for r in D.lsh_candidate_pairs(
-            corpus, "doc_id", "text", rows_per_band=2
+            corpus, "doc_id", "text", rows_per_band=2, mode="char"
         ).collect()
     }
     corpus.unpersist()
@@ -255,3 +257,47 @@ def test_rows_per_band_selectivity_at_corpus_scale(spark):
     # both with 60/60 planted-twin recall; assert with margin
     assert found >= 56, f"r=2 found only {found}/60 planted twins"
     assert len(got_r2) < n_r1 / 5, (len(got_r2), n_r1)
+
+
+def test_word_ngrams_short_doc_returns_empty(spark):
+    """Docs with < n words must yield an empty gram array, not crash
+    (sequence(1, 0) DESCENDS in Spark -> slice(ws, 0, n) used to throw
+    INVALID_PARAMETER_VALUE before the round-5 guard)."""
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", D.word_ngrams("text", 5).alias("g")).collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c d e", "b c d e f"]
+
+
+def test_word_mode_lsh_finds_near_dups_without_false_candidates(spark):
+    """Word-gram banding (the corpus default): realistic-length docs built
+    from a shared vocabulary produce NO false candidates (5-word sequences
+    almost never repeat across unrelated docs) while 2-word-edit twins are
+    still caught."""
+    word = (
+        "concat('tok', cast(pow(20000.0, 0.45 + 0.55 * "
+        "pmod(xxhash64(doc_id, i), 1000)/1000.0) as bigint))"
+    )
+    docs = spark.range(3000).select(F.col("id").alias("doc_id")).select(
+        "doc_id",
+        F.expr(f"array_join(transform(sequence(1, 60), i -> {word}), ' ')").alias("text"),
+    )
+    word_t = word.replace("doc_id", "(id - 3000)")
+    twins = spark.range(3000, 3040).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, 60), "
+            f"i -> if(i = 7 or i = 31, 'REWRITTEN', {word_t})), ' ')"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(corpus, "doc_id", "text").collect()
+    }
+    planted = {(i, i + 3000) for i in range(40)}
+    assert planted <= got, f"missed {len(planted - got)}/40 planted twins"
+    assert len(got - planted) <= 5, f"{len(got - planted)} false candidates"

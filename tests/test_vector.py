@@ -253,3 +253,92 @@ def test_kmeans_high_dim_no_expression_blowup(spark):
     assert len(a) == 4 and all(len(r["embedding"]) == 1024 for r in a)
     b = V.train_ivf_centroids(emb, k=4, iters=2, dim=1024).collect()
     assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
+
+
+def _sf001_emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    emb = _sf001_emb(spark)
+    books = V.train_pq_codebooks(emb, m=8, kc=16, iters=2, dim=64)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    codes = V.pq_encode(emb, books, dim=64).collect()
+    n = emb.count()
+    assert len(codes) == n
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    books2 = V.train_pq_codebooks(emb, m=8, kc=16, iters=2, dim=64)
+    assert books == books2
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd iterations must not increase the summed squared quantization
+    error (reconstruction MSE of the normalized vectors)."""
+    import numpy as np
+
+    emb = _sf001_emb(spark)
+    rows = emb.collect()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def sq_err(books):
+        err = 0.0
+        for s in range(8):
+            sub = mat[:, s * 8:(s + 1) * 8]
+            cents = np.asarray(books[s])
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    e0 = sq_err(V.train_pq_codebooks(emb, m=8, kc=16, iters=0, dim=64))
+    e3 = sq_err(V.train_pq_codebooks(emb, m=8, kc=16, iters=3, dim=64))
+    assert e3 <= e0
+    assert e3 < 0.9 * e0  # training actually moved the centroids
+
+
+def test_pq_adc_score_matches_python_mirror(spark):
+    """ADC score for one (query, doc) pair == the python recomputation of
+    sum_s dot(query_sub, codebook[s][code_s]) on normalized vectors."""
+    import numpy as np
+
+    emb = _sf001_emb(spark)
+    books = V.train_pq_codebooks(emb, m=8, kc=16, iters=2, dim=64)
+    codes = {r["vec_id"]: r["codes"] for r in V.pq_encode(emb, books, dim=64).collect()}
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_score"]
+        for r in V.pq_topk(V.pq_encode(emb, books, dim=64), queries, books,
+                           k=5, dim=64).collect()
+    }
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for (qid, nid), score in got.items():
+        q = vecs[qid] / np.linalg.norm(vecs[qid])
+        expected = sum(
+            float(np.dot(q[s * 8:(s + 1) * 8], np.asarray(books[s][codes[nid][s]])))
+            for s in range(8)
+        )
+        assert math.isclose(score, expected, rel_tol=1e-9), (qid, nid)
+
+
+def test_pq_refine_recall_vs_brute_force(spark):
+    """ADC alone is coarse on near-random vectors; the shortlist + exact
+    re-rank (the production shape) must recover most true neighbors."""
+    emb = _sf001_emb(spark)
+    books = V.train_pq_codebooks(emb, m=8, kc=32, iters=3, dim=64)
+    codes = V.pq_encode(emb, books, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in V.brute_force_topk(emb, queries, k=5).collect()}
+    refined = {(r["query_id"], r["neighbor_id"])
+               for r in V.pq_topk(codes, queries, books, k=5, dim=64,
+                                  refine=6, corpus=emb).collect()}
+    recall = len(bf & refined) / len(bf)
+    assert recall >= 0.6, recall
+    # refine must dominate raw ADC
+    raw = {(r["query_id"], r["neighbor_id"])
+           for r in V.pq_topk(codes, queries, books, k=5, dim=64).collect()}
+    assert len(bf & refined) >= len(bf & raw)
