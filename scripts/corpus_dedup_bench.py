@@ -161,7 +161,7 @@ def bucket_cap_trips(spark, sf_dir: str, max_bucket_size: int = 256) -> dict:
         base.groupBy("_sha").agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
         .select("doc_id", "text")
     )
-    sigs = minhash_bands(reps, "text", 4, 5, rows_per_band=2)
+    sigs = minhash_bands(reps, "text", 4, 5, rows_per_band=2, mode="word")
     out = {}
     for b in range(4):
         sizes = sigs.groupBy(F.col(f"sig_{b}").alias("sig")).agg(F.count(F.lit(1)).alias("n"))
