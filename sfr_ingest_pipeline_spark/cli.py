@@ -262,7 +262,8 @@ def cmd_recluster(args) -> int:
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    t = recluster(spark, args.table, files_per_bucket=args.files_per_bucket)
+    t = recluster(spark, args.table, files_per_bucket=args.files_per_bucket,
+                  zorder=args.zorder)
     print(json.dumps({"snapshot_id": t.snapshot.snapshot_id,
                       "files": len(t.files),
                       "sec": round(time.time() - t0, 2)}))
@@ -841,6 +842,9 @@ def main(argv: list[str] | None = None) -> int:
     rc = sub.add_parser("recluster", help="range-split bucket files for key pruning")
     rc.add_argument("--table", required=True)
     rc.add_argument("--files-per-bucket", type=int, default=4)
+    rc.add_argument("--zorder", action="store_true",
+                    help="cluster on the (conv_id, ts) z-curve so point AND "
+                         "time-window pruning hold on one layout")
     _add_spark_args(rc)
     rc.set_defaults(fn=cmd_recluster)
 

@@ -282,12 +282,56 @@ def verify_against_binlog(
     return report
 
 
+def _zorder_dim(col, cuts: list) -> "F.Column":
+    """Quantile-bucket index of ``col`` against sorted cutpoints (0..len).
+
+    A 64-term codegen fold (one >= comparison per cutpoint) — O(cuts) per
+    row, paid once per rewritten row by an offline maintenance op. The
+    index, not the raw value, is what interleaves: quantile mapping keeps
+    the z-curve locality under arbitrarily skewed dimension distributions
+    (a raw-value interleave degenerates when one dimension's mass sits in
+    a narrow range)."""
+    lits = F.array(*[F.lit(c) for c in cuts])
+    return F.aggregate(
+        lits,
+        F.lit(0),
+        lambda acc, c: acc + F.when(col >= c, 1).otherwise(0),
+    )
+
+
+def _interleave_bits(a, b, bits: int) -> "F.Column":
+    """Morton/z-value of two ``bits``-bit ints: a's bit i at 2i+1, b's at 2i."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zorder_value(
+    conv_col, ts_col, conv_cuts: list[str], ts_cuts: list[int], bits: int = 6
+) -> "F.Column":
+    """Z-value over (conv_id quantile index, ts quantile index) — pure
+    codegen, used by recluster(zorder=True)."""
+    a = F.least(F.lit((1 << bits) - 1), _zorder_dim(conv_col, conv_cuts))
+    b = F.least(
+        F.lit((1 << bits) - 1),
+        _zorder_dim(F.unix_micros(ts_col), [int(c) for c in ts_cuts]),
+    )
+    return _interleave_bits(a, b, bits)
+
+
 def recluster(
     spark: SparkSession,
     table_root: str,
     config: EngineConfig = DEFAULT_CONFIG,
     buckets: set[int] | None = None,
     files_per_bucket: int = 4,
+    zorder: bool = False,
+    zorder_bits: int = 6,
 ) -> TranscriptTable:
     """Sort-rewrite buckets so their base files carry near-DISJOINT conv_id
     ranges (the Iceberg rewrite_data_files+sort analog).
@@ -299,6 +343,17 @@ def recluster(
     Range-repartitioning on (_bucket, conv_id) makes each output file a
     contiguous conv_id slice of its bucket: after recluster a point lookup
     touches ~1 file and a range-local batch prunes the rest.
+
+    ``zorder=True`` clusters on the Morton interleave of (conv_id, ts)
+    QUANTILE indices instead (the OPTIMIZE ZORDER analog): each output
+    file covers a small square of the (conv, time) plane, so BOTH the
+    conv_id-range point pruning AND the ts_max time-window pruning
+    (ts_pruned_files) stay effective on one layout — conv-only clustering
+    leaves every file spanning the full time range and vice versa. The
+    quantile cutpoints come from one approxQuantile pass (ts) and one
+    deterministic sample sort (conv_id strings); they shape only the
+    LAYOUT, never results. Per-file stats are harvested from parquet
+    footers exactly as for any write — no new pruning code paths.
 
     Like compact, this is a normal snapshot commit (LWW-resolves deltas,
     carries the batch-id marker forward, time travel intact)."""
@@ -318,24 +373,51 @@ def recluster(
         f"data/recluster-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     )
     out_dir = os.path.join(table.root, commit_rel)
-    (
-        resolved.withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
-        # range partitioner orders by (_bucket, conv_id): within any output
-        # partition a bucket's rows form one contiguous conv_id slice, and
-        # slices across partitions are disjoint by construction
-        .repartitionByRange(
-            max(1, len(buckets) * files_per_bucket),
-            F.col("_bucket"), F.col("conv_id"),
-        )
-        .sortWithinPartitions(*key_cols)
-        .write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+    clustered = resolved.withColumn(
+        "_bucket", bucket_expr(F.col("conv_id"), table.n_buckets)
     )
+    n_parts = max(1, len(buckets) * files_per_bucket)
+    if zorder:
+        n_cuts = (1 << zorder_bits) - 1
+        ts_cuts = resolved.select(
+            F.unix_micros(F.col("ts")).alias("_us")
+        ).approxQuantile("_us", [i / (n_cuts + 1) for i in range(1, n_cuts + 1)], 0.001)
+        # string quantiles: deterministic sample -> driver sort -> even slices
+        sample = [
+            r["conv_id"]
+            for r in resolved.select("conv_id")
+            .sample(fraction=1.0, seed=42, withReplacement=False)
+            .limit(50_000).collect()
+        ] or [""]
+        sample.sort()
+        step = max(1, len(sample) // (n_cuts + 1))
+        conv_cuts = sample[step::step][:n_cuts] or [sample[len(sample) // 2]]
+        clustered = (
+            clustered.withColumn(
+                "_z",
+                zorder_value(
+                    F.col("conv_id"), F.col("ts"), conv_cuts, ts_cuts, zorder_bits
+                ),
+            )
+            .repartitionByRange(n_parts, F.col("_bucket"), F.col("_z"))
+            .sortWithinPartitions(F.col("_bucket"), F.col("_z"), *key_cols)
+            .drop("_z")
+        )
+    else:
+        clustered = clustered.repartitionByRange(
+            # range partitioner orders by (_bucket, conv_id): within any
+            # output partition a bucket's rows form one contiguous conv_id
+            # slice, and slices across partitions are disjoint by construction
+            n_parts, F.col("_bucket"), F.col("conv_id"),
+        ).sortWithinPartitions(*key_cols)
+    clustered.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
     new_files = table.harvest_files(commit_rel, kind_for_bucket="base")
     props = dict(table.snapshot.properties)  # carry batch_id marker forward
     props["maintenance"] = {
         "op": "recluster",
         "buckets": sorted(buckets),
         "files_per_bucket": files_per_bucket,
+        "zorder": bool(zorder),
     }
     return table.commit(buckets, new_files, props)
 

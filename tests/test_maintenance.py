@@ -406,3 +406,81 @@ def test_expire_counts_snapshots_not_id_range(
     # both still load and scan
     assert TranscriptTable.load(root, head).snapshot.snapshot_id == head
     assert len(TranscriptTable.load(root).scan(spark).limit(1).collect()) >= 0
+
+
+def test_zorder_recluster_prunes_both_dimensions(spark, tmp_path, small_cfg):
+    """Z-order layout (recluster(zorder=True)): ONE layout where both the
+    conv_id point-probe pruning and the ts-window pruning are effective —
+    conv-only range clustering leaves every file spanning the full time
+    range (0 ts-pruned files), the z-curve bounds both dimensions per file.
+    State must be byte-identical either way."""
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.generator import generate_binlog
+    from sfr_ingest_pipeline_spark.operators.merge import apply_batch
+    from sfr_ingest_pipeline_spark.oracle import load_binlog_pandas
+    from sfr_ingest_pipeline_spark.table.maintenance import recluster
+
+    binlog = str(tmp_path / "bl")
+    generate_binlog(binlog, seed=11, n_events=9000, n_segments=3,
+                    n_conversations=300)
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root, n_buckets=2)
+    for i, seg in enumerate(load_binlog_pandas(binlog)):
+        apply_batch(spark, root, spark.createDataFrame(seg), i, config=small_cfg)
+
+    before = (
+        TranscriptTable.load(root).scan(spark).orderBy("conv_id", "turn_idx")
+        .toPandas().reset_index(drop=True)
+    )
+
+    # conv-only clustering first: the baseline layout
+    t_conv = recluster(spark, root, config=small_cfg, files_per_bucket=8)
+    ts_all = sorted(pd.to_datetime(before["ts"]).astype("int64") // 1000)
+    lo = int(ts_all[int(len(ts_all) * 0.9)])          # top-decile window start
+    _, pruned_conv = t_conv.ts_pruned_files(lo)
+    n_files_conv = len(t_conv.files)
+
+    # z-order rewrite of the same table
+    t_z = recluster(spark, root, config=small_cfg, files_per_bucket=8,
+                    zorder=True, zorder_bits=6)
+    after = (
+        t_z.scan(spark).orderBy("conv_id", "turn_idx")
+        .toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+
+    kept_z, pruned_z = t_z.ts_pruned_files(lo)
+    n_files_z = len(t_z.files)
+    assert n_files_z >= 8, "too few files; pruning assertions vacuous"
+    # time-window pruning: z-order must skip a meaningful share of files;
+    # conv-only clustering skips ~none (every file spans the whole range)
+    assert pruned_z >= n_files_z * 0.25, (pruned_z, n_files_z)
+    assert pruned_z > pruned_conv, (pruned_z, pruned_conv, n_files_conv)
+
+    # conv point probes must still prune: an average conv's string range
+    # covers a minority of its bucket's files
+    convs = before["conv_id"].drop_duplicates().iloc[:20]
+    from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+    frac = []
+    for conv in convs:
+        b = bucket_of(conv, t_z.n_buckets)
+        bucket_files = t_z.files_in_buckets({b})
+        covering = [
+            f for f in bucket_files
+            if (f.conv_id_min is None or f.conv_id_min <= conv)
+            and (f.conv_id_max is None or conv <= f.conv_id_max)
+        ]
+        frac.append(len(covering) / len(bucket_files))
+    avg = sum(frac) / len(frac)
+    assert avg <= 0.6, f"conv pruning lost under z-order: avg covering frac {avg}"
+
+    # time-window scan correctness: pruned scan == unpruned filter
+    hi = int(max(ts_all))
+    got = (
+        t_z.scan(spark, ts_between=(lo, hi)).orderBy("conv_id", "turn_idx")
+        .toPandas().reset_index(drop=True)
+    )
+    exp_mask = (pd.to_datetime(before["ts"]).astype("int64") // 1000 >= lo)
+    exp = before[exp_mask].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
