@@ -244,6 +244,28 @@ def cmd_rebucket(args) -> int:
 
 
 @_maintenance_guard
+def cmd_dedup_index(args) -> int:
+    """Maintain/query the incremental MinHash-LSH near-dup index
+    (streaming/lsh_index.py): refresh hashes only the docs the changelog
+    touched since the stored cursor; --pairs derives the candidate pair
+    set from stored signatures (zero shingle hashing)."""
+    from sfr_ingest_pipeline_spark.streaming.lsh_index import IncrementalLshIndex
+
+    spark = _get_spark(args)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    idx = IncrementalLshIndex(args.index, args.table)
+    out = idx.refresh(spark)
+    out["refresh_sec"] = round(time.time() - t0, 2)
+    if args.pairs:
+        t0 = time.time()
+        out["candidate_pairs"] = idx.candidate_pairs(spark).count()
+        out["pairs_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    return 0
+
+
+@_maintenance_guard
 def cmd_rollback(args) -> int:
     from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
 
@@ -847,6 +869,17 @@ def main(argv: list[str] | None = None) -> int:
                          "time-window pruning hold on one layout")
     _add_spark_args(rc)
     rc.set_defaults(fn=cmd_recluster)
+
+    dx = sub.add_parser(
+        "dedup-index",
+        help="refresh the incremental LSH near-dup index from the changelog",
+    )
+    dx.add_argument("--index", required=True, help="index directory")
+    dx.add_argument("--table", required=True)
+    dx.add_argument("--pairs", action="store_true",
+                    help="also count candidate pairs from stored signatures")
+    _add_spark_args(dx)
+    dx.set_defaults(fn=cmd_dedup_index)
 
     e = sub.add_parser("expire", help="expire old snapshots + GC data files")
     e.add_argument("--table", required=True)

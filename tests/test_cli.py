@@ -271,3 +271,41 @@ def test_cli_tail(spark, tmp_path, capsys):
     )
     rc, out, _ = _run(capsys, "tail", "--table", t, "--cursor-dir", cur)
     assert json.loads(out[-1])["caught_up"] is True
+
+
+def test_cli_dedup_index(spark, tmp_path, capsys):
+    """dedup-index: bootstrap -> noop -> delta refresh from the changelog;
+    pair count comes from stored signatures and matches the batch pipeline."""
+    b = str(tmp_path / "binlog")
+    t = str(tmp_path / "table")
+    ck = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "lsh")
+    _run(capsys, "generate", "--out", b, "--events", "2000",
+         "--segments", "2", "--conversations", "60")
+    rc, out, _ = _run(capsys, "replay", "--binlog", b, "--table", t,
+                      "--checkpoint", ck, "--buckets", "4",
+                      "--max-files-per-trigger", "1")
+    assert rc == 0
+
+    rc, out, _ = _run(capsys, "dedup-index", "--index", idx, "--table", t,
+                      "--pairs")
+    assert rc == 0
+    rep = json.loads(out[-1])
+    assert rep["mode"] == "bootstrap" and rep["docs_signed"] > 0
+
+    # batch-pipeline ground truth on the table's current text
+    from pyspark.sql import functions as F
+
+    from sfr_ingest_pipeline_spark.functions.dedup import lsh_candidate_pairs
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    docs = TranscriptTable.load(t).scan(spark).select(
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        .alias("doc_id"), "text",
+    )
+    assert rep["candidate_pairs"] == lsh_candidate_pairs(
+        docs, "doc_id", "text").count()
+
+    rc, out, _ = _run(capsys, "dedup-index", "--index", idx, "--table", t)
+    assert rc == 0
+    assert json.loads(out[-1])["mode"] == "noop"
