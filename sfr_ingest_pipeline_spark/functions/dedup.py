@@ -186,21 +186,39 @@ def lsh_candidate_pairs(
         F.col("_canon").alias(id_col), F.col("_text").alias(text_col)
     )
     sigs = minhash_bands(reps, text_col, n_bands, k, rows_per_band, mode)
-    pairs = exact_pairs
-    for b in range(n_bands):
-        sb = sigs.select(F.col(id_col), F.col(f"sig_{b}").alias("sig"))
-        ok_sigs = (
-            sb.groupBy("sig")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
-            .select("sig")
-        )
-        sb = sb.join(ok_sigs, "sig")
-        left = sb.select(F.col(id_col).alias("id_a"), "sig")
-        right = sb.select(F.col(id_col).alias("id_b"), "sig")
-        p = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = pairs.unionByName(p)
-    return pairs.distinct()
+    # ONE hashing pass, ONE shuffle, NO self-join: melt the band columns
+    # into (band, sig) rows, group each bucket to a sorted id array, and
+    # expand in-bucket pairs with a combination transform. The round-5 1M-doc
+    # bench caught the previous shape consuming `sigs` twice per band (cap
+    # count + self-join x 4 bands = ~8 re-evaluations of the corpus minhash
+    # lineage); here the expensive hashing feeds exactly one exchange, and
+    # the pair expansion is bounded by max_bucket_size^2 per bucket.
+    melted = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("_bs"),
+    ).select(id_col, "_bs.band", "_bs.sig").filter(F.col("sig").isNotNull())
+    buckets = (
+        melted.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size))
+    )
+    band_pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (a, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), "
+                "b -> struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+    return exact_pairs.unionByName(band_pairs).distinct()
 
 
 def ngram_jaccard(a: Column, b: Column, k: int = 5, mode: str = "char") -> Column:
