@@ -210,16 +210,28 @@ def cmd_scan(args) -> int:
 @_maintenance_guard
 def cmd_compact(args) -> int:
     from sfr_ingest_pipeline_spark.config import EngineConfig
-    from sfr_ingest_pipeline_spark.table.maintenance import compact
+    from sfr_ingest_pipeline_spark.table.maintenance import compact, compact_minor
 
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = EngineConfig(shuffle_partitions=args.shuffle_partitions or 32)
     t0 = time.time()
-    table = compact(
-        spark, args.table, config=cfg,
-        expire_tombstones_older_than_us=args.tombstone_watermark_us,
-    )
+    if args.minor:
+        if args.tombstone_watermark_us is not None:
+            raise SystemExit(
+                "--tombstone-watermark-us requires a full compaction: minor "
+                "compaction never drops tombstones (they must keep masking "
+                "base rows it does not rewrite)"
+            )
+        table = compact_minor(
+            spark, args.table, config=cfg,
+            min_delta_files=args.min_delta_files,
+        )
+    else:
+        table = compact(
+            spark, args.table, config=cfg,
+            expire_tombstones_older_than_us=args.tombstone_watermark_us,
+        )
     print(json.dumps({
         "snapshot_id": table.snapshot.snapshot_id,
         "files": len(table.files),
@@ -295,7 +307,10 @@ def cmd_recluster(args) -> int:
 def cmd_expire(args) -> int:
     from sfr_ingest_pipeline_spark.table.maintenance import expire_snapshots
 
-    print(json.dumps(expire_snapshots(args.table, keep_last=args.keep_last)))
+    print(json.dumps(expire_snapshots(
+        args.table, keep_last=args.keep_last,
+        orphan_grace_s=args.orphan_grace_s,
+    )))
     return 0
 
 
@@ -847,6 +862,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="compact delta files into base files")
     c.add_argument("--table", required=True)
     c.add_argument("--tombstone-watermark-us", type=int, default=None)
+    c.add_argument("--minor", action="store_true",
+                   help="delta-only compaction: LWW-merge each bucket's delta "
+                        "files into one, carrying base files forward untouched "
+                        "(O(delta bytes), the steady-state pass at scale)")
+    c.add_argument("--min-delta-files", type=int, default=2,
+                   help="with --minor: skip buckets holding fewer deltas")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_compact)
 
@@ -884,6 +905,10 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire", help="expire old snapshots + GC data files")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=5)
+    e.add_argument("--orphan-grace-s", type=float, default=600.0,
+                   help="never-committed files younger than this survive GC "
+                        "(in-flight writer protection); committed history "
+                        "expires immediately regardless")
     e.set_defaults(fn=cmd_expire)
 
     mz = sub.add_parser("materialize", help="denormalized conversation-document view")

@@ -48,6 +48,7 @@ import os
 import re
 import shutil
 import time
+import uuid
 
 from sfr_ingest_pipeline_spark.table.transcript_table import (
     CommitConflictError,
@@ -214,11 +215,54 @@ def publish_branch(root: str, name: str, drop: bool = False) -> TranscriptTable:
 def drop_branch(root: str, name: str) -> None:
     """Abort/retire a branch: its staged snapshots disappear with the
     directory; staged data files become unreferenced and the next
-    ``expire_snapshots`` GCs them."""
+    ``expire_snapshots`` GCs them.
+
+    Before removing the metadata, the branch's full referenced set is
+    recorded in a released-files tombstone (``metadata/released-*.json``).
+    expire_snapshots distinguishes committed-history files (delete now)
+    from never-committed paths that may belong to an IN-FLIGHT writer
+    (deleted only past an mtime grace window); without the tombstone a
+    dropped branch's staged files would look like the latter and linger
+    for the grace period instead of being released by the explicit drop."""
     broot = branch_root(root, name)
     if not os.path.isdir(broot):
         raise FileNotFoundError(f"no branch {name!r}")
+    bt = TranscriptTable.load(broot)
+    files: set[str] = set()
+    manifests: set[str] = set()
+    for snap in bt.history():
+        view = TranscriptTable(broot, snap)
+        files |= {f.path for f in view.files}
+        manifests |= view.referenced_manifests()
+    rel = os.path.join(root, "metadata", f"released-{name}-{uuid.uuid4().hex[:8]}.json")
+    tmp = rel + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"files": sorted(files), "manifests": sorted(manifests)}, f)
+    os.replace(tmp, rel)
     shutil.rmtree(broot)
+
+
+def released_refs(root: str) -> tuple[set[str], set[str], list[str]]:
+    """Union of every released-files tombstone: (data paths, manifest
+    paths, tombstone file paths). Consumed — and then deleted — by
+    ``expire_snapshots``."""
+    files: set[str] = set()
+    manifests: set[str] = set()
+    paths: list[str] = []
+    mdir = os.path.join(root, "metadata")
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.startswith("released-") and fn.endswith(".json"):
+                full = os.path.join(mdir, fn)
+                try:
+                    with open(full, encoding="utf-8") as f:
+                        raw = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                files |= set(raw.get("files", []))
+                manifests |= set(raw.get("manifests", []))
+                paths.append(full)
+    return files, manifests, paths
 
 
 def branch_referenced(root: str) -> tuple[set[str], set[str]]:

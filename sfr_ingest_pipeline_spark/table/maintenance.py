@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import SparkSession
@@ -80,10 +81,82 @@ def compact(
     return table.commit(buckets, new_files, props)
 
 
-def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
+def compact_minor(
+    spark: SparkSession,
+    table_root: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    buckets: set[int] | None = None,
+    min_delta_files: int = 2,
+) -> TranscriptTable:
+    """Delta-only ("minor") compaction: LWW-merge each chosen bucket's MoR
+    delta files into ONE resolved delta file, carrying the base files
+    forward untouched. Cost is O(delta bytes) — at 100 TB this is the
+    steady-state compaction you actually run; the full :func:`compact`
+    (O(bucket bytes), rewrites bases) becomes an occasional major pass.
+
+    Exactness: stored-version resolution is an associative LWW max_by over
+    (order_cols..., commit recency) — see :func:`resolve_stored_versions` —
+    so pre-reducing the delta subset cannot change any key's final winner:
+    a delta row beats the base row it superseded by construction (MERGE
+    writes only resolved winners as deltas, and the merged file's commit
+    seq exceeds every input delta's). Tombstones are winners too and are
+    kept, so they still mask base rows at scan time. Buckets with fewer
+    than ``min_delta_files`` deltas are skipped (nothing to gain)."""
+    table = TranscriptTable.load(table_root)
+    counts = table.delta_file_counts(buckets)
+    chosen = {b for b, c in counts.items() if c >= min_delta_files}
+    if not chosen:
+        return table
+    in_buckets = table.files_in_buckets(chosen)
+    delta_files = [f for f in in_buckets if f.kind == "delta"]
+    base_paths = {f.path for f in in_buckets if f.kind != "delta"}
+
+    df = table.scan(spark, with_meta=True, files=delta_files)
+    resolved = resolve_stored_versions(
+        df, list(table.snapshot.key_cols), table.snapshot.order_cols
+    )
+    commit_rel = (
+        f"data/compact-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    out_dir = os.path.join(table.root, commit_rel)
+    key_cols = list(table.snapshot.key_cols)
+    (
+        resolved.withColumn("_bucket", bucket_expr(F.col("conv_id"), table.n_buckets))
+        .repartition(len(chosen), F.col("_bucket"))
+        .sortWithinPartitions(*key_cols)
+        .write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+    )
+    new_files = table.harvest_files(commit_rel, kind_for_bucket="delta")
+    props = dict(table.snapshot.properties)  # carry batch_id marker forward
+    props["maintenance"] = {
+        "op": "compact_minor",
+        "buckets": sorted(chosen),
+        "deltas_merged": len(delta_files),
+    }
+    return table.commit(chosen, new_files, props, carry_files=base_paths)
+
+
+def expire_snapshots(
+    table_root: str, keep_last: int = 5, orphan_grace_s: float = 600.0
+) -> dict:
     """Drop snapshot metadata older than the last ``keep_last`` and delete
     data files no retained snapshot references. The time-travel window
     shrinks to the retained set; the current snapshot is always retained.
+
+    Unreferenced files come in two classes with different safety rules:
+
+    * referenced by some EXPIRED snapshot — committed history being aged
+      out; deleted immediately (no in-flight writer can own a path that a
+      committed snapshot already referenced: writers mint fresh
+      uuid-suffixed commit dirs).
+    * referenced by NO snapshot at all — either debris from a crashed
+      writer, or the live output of an IN-FLIGHT writer that has written
+      its files but not yet CAS-committed its snapshot. Deleting the
+      latter would make the imminent commit reference missing files, so
+      these are only removed once older than ``orphan_grace_s`` (mtime;
+      default 10 min — far beyond a write->commit gap, the same
+      age-threshold contract as Iceberg's remove_orphan_files). Counted
+      separately as ``dropped_orphans`` / ``skipped_recent_orphans``.
 
     Retention contract for concurrent readers: a reader holding a RETAINED
     snapshot keeps reading exactly (its files survive GC by reference); a
@@ -101,6 +174,7 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     from sfr_ingest_pipeline_spark.table.branch import (
         branch_referenced,
         is_branch_root,
+        released_refs,
     )
     from sfr_ingest_pipeline_spark.table.transcript_table import list_tags
 
@@ -128,61 +202,110 @@ def expire_snapshots(table_root: str, keep_last: int = 5) -> dict:
     # live staging branches pin their whole referenced set (data files AND
     # manifests, fork history included) for as long as the audit runs
     referenced, referenced_manifests = branch_referenced(table_root)
+    # ever_* = union over ALL on-disk snapshots (kept and dropped) plus the
+    # released-files tombstones of dropped branches: a path in ever_* but
+    # not in the retained set is committed/explicitly-released history —
+    # safe to delete immediately; a path in NEITHER was never committed and
+    # may belong to an in-flight writer, so it gets the orphan grace window
+    rel_files, rel_manifests, rel_tombstones = released_refs(table_root)
+    ever_referenced = set(referenced) | rel_files
+    ever_manifests = set(referenced_manifests) | rel_manifests
     kept, dropped_meta = 0, 0
+    to_remove_meta: list[str] = []
     for snap in table.history():
+        view = TranscriptTable(table_root, snap)
+        ever_referenced |= {f.path for f in view.files}
+        ever_manifests |= view.referenced_manifests()
         if snap.snapshot_id in keep_ids:
-            view = TranscriptTable(table_root, snap)
             referenced |= {f.path for f in view.files}
             referenced_manifests |= view.referenced_manifests()
             kept += 1
         else:
-            os.remove(TranscriptTable._snap_path(table_root, snap.snapshot_id))
+            to_remove_meta.append(
+                TranscriptTable._snap_path(table_root, snap.snapshot_id)
+            )
             dropped_meta += 1
 
-    dropped_files = 0
+    now = time.time()
+
+    def _sweep(full: str, rel: str, counters: dict) -> None:
+        if rel in ever_referenced or rel in ever_manifests:
+            os.remove(full)
+            counters["expired"] += 1
+        elif now - os.path.getmtime(full) > orphan_grace_s:
+            os.remove(full)
+            counters["orphans"] += 1
+        else:
+            counters["recent"] += 1
+
+    # Bloom sidecars (table/bloom.py): a blob lives exactly as long as some
+    # retained manifest (branch-pinned included) references it. Resolve the
+    # refs NOW, before the manifest sweep deletes dropped manifests — blobs
+    # of a dropped manifest are committed history (delete immediately),
+    # not recent orphans.
+    def _bloom_refs(manifest_rels) -> set[str]:
+        out: set[str] = set()
+        for mf_rel in manifest_rels:
+            try:
+                with open(os.path.join(table_root, mf_rel), encoding="utf-8") as f:
+                    raw = json.load(f)
+            except FileNotFoundError:
+                continue
+            for fds in raw.values():
+                for fd in fds:
+                    if fd.get("bloom_path"):
+                        out.add(fd["bloom_path"])
+        return out
+
+    referenced_blooms = _bloom_refs(referenced_manifests)
+    ever_blooms = referenced_blooms | _bloom_refs(ever_manifests)
+
+    for p in to_remove_meta:
+        os.remove(p)
+
+    dc = {"expired": 0, "orphans": 0, "recent": 0}
     data_root = os.path.join(table_root, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for fn in files:
             full = os.path.join(dirpath, fn)
             rel = os.path.relpath(full, table_root)
             if rel not in referenced and fn.endswith(".parquet"):
-                os.remove(full)
-                dropped_files += 1
-    dropped_manifests = 0
+                _sweep(full, rel, dc)
+    mc = {"expired": 0, "orphans": 0, "recent": 0}
     mdir = os.path.join(table_root, "metadata", "manifests")
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):
             rel = "/".join(["metadata", "manifests", fn])
             if fn.endswith(".json") and rel not in referenced_manifests:
-                os.remove(os.path.join(mdir, fn))
-                dropped_manifests += 1
-    # Bloom sidecars (table/bloom.py): a blob lives exactly as long as some
-    # retained manifest (branch-pinned included) references it
-    referenced_blooms: set[str] = set()
-    for mf_rel in referenced_manifests:
-        try:
-            with open(os.path.join(table_root, mf_rel), encoding="utf-8") as f:
-                raw = json.load(f)
-        except FileNotFoundError:
-            continue
-        for fds in raw.values():
-            for fd in fds:
-                if fd.get("bloom_path"):
-                    referenced_blooms.add(fd["bloom_path"])
-    dropped_blooms = 0
+                _sweep(os.path.join(mdir, fn), rel, mc)
+    bc = {"expired": 0, "orphans": 0, "recent": 0}
     bdir = os.path.join(table_root, "metadata", "blooms")
     if os.path.isdir(bdir):
         for fn in os.listdir(bdir):
             rel = "/".join(["metadata", "blooms", fn])
             if rel not in referenced_blooms:
-                os.remove(os.path.join(bdir, fn))
-                dropped_blooms += 1
+                full = os.path.join(bdir, fn)
+                if rel in ever_blooms:
+                    os.remove(full)
+                    bc["expired"] += 1
+                elif now - os.path.getmtime(full) > orphan_grace_s:
+                    os.remove(full)
+                    bc["orphans"] += 1
+                else:
+                    bc["recent"] += 1
+    # released tombstones are consumed: their paths were swept above (or
+    # were still retained via a live reference, in which case re-listing
+    # them is pointless — the next drop writes a fresh tombstone)
+    for p in rel_tombstones:
+        os.remove(p)
     return {
         "kept_snapshots": kept,
         "dropped_snapshots": dropped_meta,
-        "dropped_data_files": dropped_files,
-        "dropped_manifests": dropped_manifests,
-        "dropped_blooms": dropped_blooms,
+        "dropped_data_files": dc["expired"],
+        "dropped_manifests": mc["expired"],
+        "dropped_blooms": bc["expired"] + bc["orphans"],
+        "dropped_orphans": dc["orphans"] + mc["orphans"],
+        "skipped_recent_orphans": dc["recent"] + mc["recent"] + bc["recent"],
     }
 
 
