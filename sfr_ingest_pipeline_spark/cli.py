@@ -261,14 +261,26 @@ def cmd_dedup_index(args) -> int:
     (streaming/lsh_index.py): refresh hashes only the docs the changelog
     touched since the stored cursor; --pairs derives the candidate pair
     set from stored signatures (zero shingle hashing)."""
-    from sfr_ingest_pipeline_spark.streaming.lsh_index import IncrementalLshIndex
+    from sfr_ingest_pipeline_spark.streaming.lsh_index import (
+        IncrementalLshIndex,
+        IncrementalNearDupView,
+    )
 
     spark = _get_spark(args)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     idx = IncrementalLshIndex(args.index, args.table)
-    out = idx.refresh(spark)
-    out["refresh_sec"] = round(time.time() - t0, 2)
+    if args.kept:
+        # full composed view: signatures + pair ledger + kept set
+        view = IncrementalNearDupView(idx)
+        out = view.refresh(spark)
+        out["refresh_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["kept_docs"] = view.kept_docs(spark).count()
+        out["kept_sec"] = round(time.time() - t0, 2)
+    else:
+        out = idx.refresh(spark)
+        out["refresh_sec"] = round(time.time() - t0, 2)
     if args.pairs:
         t0 = time.time()
         out["candidate_pairs"] = idx.candidate_pairs(spark).count()
@@ -899,6 +911,10 @@ def main(argv: list[str] | None = None) -> int:
     dx.add_argument("--table", required=True)
     dx.add_argument("--pairs", action="store_true",
                     help="also count candidate pairs from stored signatures")
+    dx.add_argument("--kept", action="store_true",
+                    help="maintain the composed near-dup VIEW (pair ledger + "
+                         "verified jaccard + clusters) and report the kept-"
+                         "doc count — the incremental near_dedup_kept_docs")
     _add_spark_args(dx)
     dx.set_defaults(fn=cmd_dedup_index)
 

@@ -267,3 +267,237 @@ class IncrementalLshIndex:
         ``doc_id`` string column) — the new-docs-probe-the-index path."""
         restrict = doc_ids.select(F.col("doc_id").alias("_rid")).distinct()
         return self._pairs_from(self.signatures(spark), restrict=restrict)
+
+
+PAIR_STATE_FILE = "_NEARDUP_STATE.json"
+
+
+class IncrementalNearDupView:
+    """The COMPOSED near-dup dedup result (verified pairs -> connected
+    components -> kept docs) maintained from the table's changelog, on top
+    of :class:`IncrementalLshIndex` — the incremental twin of the batch
+    ``near_dedup_kept_docs`` query.
+
+    What stays incremental, per refresh span:
+
+    * shingle hashing — O(changed docs) (the index's contract);
+    * **Jaccard verification** — only pairs that are NEW in the candidate
+      set or had an endpoint's text change are (re-)verified, and the text
+      read for them is bucket/point-pruned to the touched conversations
+      (the ``materialize.py`` point-prune pattern). Unchanged pairs keep
+      their stored jaccard: it is a pure function of two unchanged texts.
+
+    What is recomputed per refresh but stays NARROW (no text, no hashing):
+    the candidate-pair derivation from stored signatures. It must be — the
+    hot-bucket cap makes the candidate set non-monotonic in BOTH
+    directions (a wave can push a bucket over the cap, erasing pairs
+    between untouched docs, or deletes can drop it back under, conjuring
+    pairs between docs nobody touched). Diffing the fresh candidate set
+    against the stored pair ledger is exactly what keeps those cap flips
+    correct: vanished candidates tombstone, appeared candidates verify.
+
+    Pair ledger (``pairs/`` under ``index_root``, versioned like the
+    signature store): (id_a, id_b, jaccard, snapshot_id, _dead); newest
+    stamp per pair wins on read. FAILED verifications are stored too
+    (jaccard < threshold) so a pair is never re-verified while both texts
+    stand. Crash between append and cursor-save re-appends identical rows
+    under the same stamp — idempotent, same contract as the index.
+
+    Equality (pinned by tests/test_neardup_view.py): after every refresh,
+    ``kept_docs`` == the batch chain (lsh_candidate_pairs -> jaccard >=
+    threshold -> connected_components -> canonical anti-join) run from
+    scratch on the table's current text."""
+
+    def __init__(self, index: IncrementalLshIndex, threshold: float = 0.5):
+        self.index = index
+        self.threshold = threshold
+
+    # ------------------------------------------------------------- state
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.index.index_root, PAIR_STATE_FILE)
+
+    @property
+    def _pairs_dir(self) -> str:
+        return os.path.join(self.index.index_root, "pairs")
+
+    def last_refreshed_snapshot(self) -> int | None:
+        if not os.path.exists(self._state_path):
+            return None
+        with open(self._state_path) as f:
+            return json.load(f)["last_snapshot_id"]
+
+    def _save_cursor(self, snapshot_id: int) -> None:
+        tmp = f"{self._state_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"last_snapshot_id": snapshot_id,
+                       "threshold": self.threshold}, f)
+        os.replace(tmp, self._state_path)
+
+    # -------------------------------------------------------------- text
+    def _verify(self, spark: SparkSession, cand: DataFrame,
+                point_convs: "list[str] | None") -> DataFrame:
+        """jaccard for each candidate pair, reading text only for the
+        involved conversations (point-pruned when the span is small)."""
+        from sfr_ingest_pipeline_spark.functions.dedup import ngram_jaccard
+
+        table = TranscriptTable.load(self.index.table_root)
+        sigs = self.index.signatures(spark).select("doc_id", "conv_id",
+                                                   "turn_idx")
+        if point_convs is not None:
+            from sfr_ingest_pipeline_spark.functions.xxh import bucket_of
+
+            buckets = {bucket_of(c, table.n_buckets) for c in point_convs}
+            scan = table.scan(spark, buckets=buckets).filter(
+                F.col("conv_id").isin(point_convs)
+            )
+        else:
+            involved = (
+                cand.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+                .join(sigs, "doc_id")
+                .select("conv_id").distinct()
+            )
+            scan = table.scan(spark).join(involved, "conv_id", "left_semi")
+        texts = scan.join(
+            sigs.select("doc_id", "conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+        ).select("doc_id", F.col(self.index.text_col).alias("_text"))
+        a = texts.select(F.col("doc_id").alias("id_a"),
+                         F.col("_text").alias("_ta"))
+        b = texts.select(F.col("doc_id").alias("id_b"),
+                         F.col("_text").alias("_tb"))
+        return (
+            cand.join(a, "id_a").join(b, "id_b")
+            .select(
+                "id_a", "id_b",
+                ngram_jaccard(F.col("_ta"), F.col("_tb"),
+                              self.index.k, mode=self.index.mode)
+                .alias("jaccard"),
+            )
+        )
+
+    def _stored(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self._pairs_dir):
+            return None
+        df = spark.read.parquet(self._pairs_dir)
+        winner = F.max_by(
+            F.struct("jaccard", "_dead"), F.col("snapshot_id")
+        ).alias("_w")
+        cur = df.groupBy("id_a", "id_b").agg(winner).select(
+            "id_a", "id_b", F.col("_w.jaccard").alias("jaccard"),
+            F.col("_w._dead").alias("_dead"),
+        )
+        return cur.filter(~F.col("_dead")).drop("_dead")
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self, spark: SparkSession) -> dict:
+        """Advance index + pair ledger to the table's current snapshot."""
+        from sfr_ingest_pipeline_spark.streaming.incremental import (
+            _POINT_PRUNE_LIMIT,
+        )
+
+        idx_stats = self.index.refresh(spark)
+        cur = idx_stats["snapshot_id"]
+        last = self.last_refreshed_snapshot()
+        if last == cur:
+            return {"mode": "noop", "snapshot_id": cur, "pairs_verified": 0,
+                    "pairs_tombstoned": 0, **{"docs_signed":
+                                              idx_stats["docs_signed"]}}
+
+        cand = self.index.candidate_pairs(spark).persist()
+        stored = self._stored(spark) if last is not None else None
+        if stored is None:
+            need = cand
+            dead = None
+            point_convs = None
+        else:
+            table = TranscriptTable.load(self.index.table_root)
+            changes = table.changes_between(spark, last, cur)
+            touched = changes.select(
+                F.concat_ws("#", F.col("conv_id"),
+                            F.col("turn_idx").cast("string")).alias("_tid")
+            ).distinct()
+            # pairs whose stored jaccard may be stale: an endpoint's text
+            # changed (update) or vanished (delete)
+            invalid = (
+                stored.join(touched, stored["id_a"] == touched["_tid"],
+                            "left_semi")
+                .unionByName(
+                    stored.join(touched, stored["id_b"] == touched["_tid"],
+                                "left_semi")
+                ).select("id_a", "id_b").distinct()
+            )
+            reusable = stored.join(invalid, ["id_a", "id_b"], "left_anti")
+            need = cand.join(reusable.select("id_a", "id_b"),
+                             ["id_a", "id_b"], "left_anti").persist()
+            dead = (
+                stored.select("id_a", "id_b")
+                .join(cand, ["id_a", "id_b"], "left_anti")
+            )
+            # text for the verify batch must cover BOTH endpoints of every
+            # need pair (a cap-flip pair can sit between two UNTOUCHED
+            # docs), so derive the conv list from the pairs themselves
+            sigs = self.index.signatures(spark)
+            involved_convs = (
+                need.select(F.col("id_a").alias("doc_id"))
+                .unionByName(need.select(F.col("id_b").alias("doc_id")))
+                .join(sigs.select("doc_id", "conv_id"), "doc_id")
+                .select("conv_id").distinct()
+            )
+            conv_rows = involved_convs.limit(_POINT_PRUNE_LIMIT + 1).collect()
+            point_convs = (
+                [r.conv_id for r in conv_rows]
+                if len(conv_rows) <= _POINT_PRUNE_LIMIT else None
+            )
+
+        verified = self._verify(spark, need, point_convs)
+        obs_v = Observation(f"ndv_{uuid.uuid4().hex[:6]}")
+        out = verified.observe(obs_v, F.count(F.lit(1)).alias("n")) \
+            .withColumn("_dead", F.lit(False))
+        n_dead = 0
+        if dead is not None:
+            obs_d = Observation(f"ndd_{uuid.uuid4().hex[:6]}")
+            out = out.unionByName(
+                dead.withColumn("jaccard", F.lit(None).cast("double"))
+                .withColumn("_dead", F.lit(True))
+                .observe(obs_d, F.count(F.lit(1)).alias("n"))
+            )
+        out.withColumn("snapshot_id", F.lit(cur).cast("long")) \
+            .write.mode("append").parquet(self._pairs_dir)
+        if dead is not None:
+            n_dead = int(obs_d.get["n"])
+        cand.unpersist()
+        if need is not cand:
+            need.unpersist()
+        self._save_cursor(cur)
+        return {"mode": "bootstrap" if last is None else "delta",
+                "snapshot_id": cur,
+                "docs_signed": idx_stats["docs_signed"],
+                "pairs_verified": int(obs_v.get["n"]),
+                "pairs_tombstoned": n_dead,
+                "point_pruned": bool(last is not None and point_convs)}
+
+    # --------------------------------------------------------------- read
+    def edges(self, spark: SparkSession) -> DataFrame:
+        """Current verified near-dup pairs (jaccard >= threshold)."""
+        stored = self._stored(spark)
+        if stored is None:
+            raise FileNotFoundError(
+                f"no pair ledger at {self._pairs_dir}; run refresh() first"
+            )
+        return stored.filter(F.col("jaccard") >= self.threshold)
+
+    def kept_docs(self, spark: SparkSession) -> DataFrame:
+        """Current kept set: live docs minus non-canonical cluster members
+        — equals the batch composed pipeline on the table's text."""
+        from sfr_ingest_pipeline_spark.functions.graph import (
+            connected_components,
+        )
+
+        live = self.index.signatures(spark).select("doc_id")
+        comp = connected_components(self.edges(spark), "id_a", "id_b")
+        dropped = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        return live.join(dropped, "doc_id", "left_anti")
