@@ -88,9 +88,57 @@ def measure_membw(widths=(1, 2, 4, 8, 32)) -> dict:
     return out
 
 
+def pairs_only(n_events: int, pairs: int) -> int:
+    """Re-measure ONLY the criterion rung (1 vs 4 single-core executors)
+    as strictly interleaved pairs, and APPEND a dated section to
+    BENCH/EXECUTORS.md.  Meant for quiet host windows: the full ladder
+    takes ~1h and the criterion number should carry the smallest
+    host-noise error bar available, so this focused mode exists to be
+    re-run whenever `uptime` shows an idle minute."""
+    m1, m4 = "local-cluster[1,1,4096]", "local-cluster[4,1,4096]"
+    load0 = os.getloadavg()[0]
+    runs: dict[str, list[float]] = {m1: [], m4: []}
+    for t in range(pairs):
+        # alternate which rung goes first inside each pair so slow drift
+        # in host load cannot systematically favor one rung
+        order = (m1, m4) if t % 2 == 0 else (m4, m1)
+        for master in order:
+            r = run_once(master, n_events)
+            runs[master].append(r["cdc_events_per_sec"])
+            print(f"pair {t} {master}: {r['cdc_events_per_sec']:,} ev/s", flush=True)
+    med1 = statistics.median(runs[m1])
+    med4 = statistics.median(runs[m4])
+    eff = (med4 / med1) / 4.0
+    load1 = os.getloadavg()[0]
+    md = f"""
+
+## Round-5 quiet-window re-measure of the criterion rung ({time.strftime('%Y-%m-%d')})
+
+`python scripts/executor_scaling_bench.py {n_events} {pairs} --pairs-only` —
+{pairs} strictly interleaved 1-exec/4-exec pairs (order alternating within
+each pair), fresh process per run, 1-min load average {load0:.2f} at start /
+{load1:.2f} at end:
+
+| rung | all runs (ev/s) | median |
+|---|---|---|
+| 1 exec x 1 core | {', '.join(f'{v / 1000:.1f}k' for v in runs[m1])} | {med1 / 1000:.1f}k |
+| 4 exec x 1 core | {', '.join(f'{v / 1000:.1f}k' for v in runs[m4])} | {med4 / 1000:.1f}k |
+
+**Scaling efficiency 1 -> 4 executors: {eff:.2f}** (criterion >= 0.8);
+spread: 1-exec {min(runs[m1]) / 1000:.1f}-{max(runs[m1]) / 1000:.1f}k,
+4-exec {min(runs[m4]) / 1000:.1f}-{max(runs[m4]) / 1000:.1f}k.
+"""
+    with open(os.path.join(REPO, "BENCH", "EXECUTORS.md"), "a") as f:
+        f.write(md)
+    print(f"\nefficiency 1->4 executors = {eff:.3f} (appended to BENCH/EXECUTORS.md)")
+    return 0
+
+
 def main() -> int:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if "--pairs-only" in sys.argv:
+        return pairs_only(n_events, trials)
 
     results: dict[str, list[dict]] = {m: [] for m in LADDER}
     # interleave trials across masters: this shared VM shows ~2x run-to-run
