@@ -54,15 +54,33 @@ def main() -> int:
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    binlog = os.path.join(base, "binlog")
-    fast_binlog(binlog, n_events, n_segments=n_segments,
-                n_conversations=max(1000, n_events // 60), seed=5,
-                zipf_s=1.05)
+    # The steady-state shape minor compaction exists for: a LARGE compacted
+    # base plus a SMALL recent delta wave. Built in two stages — bulk load
+    # then full compact (the bases), then a 25%-sized update wave over the
+    # same conversation universe left as deltas.
+    n_convs = max(1000, n_events // 60)
+    bulk = int(n_events * 0.75)
+    blg1 = os.path.join(base, "binlog1")
+    fast_binlog(blg1, bulk, n_segments=n_segments,
+                n_conversations=n_convs, seed=5, zipf_s=1.05)
+    blg2 = os.path.join(base, "binlog2")
+    fast_binlog(blg2, n_events - bulk, n_segments=max(4, n_segments // 4),
+                n_conversations=n_convs, seed=6, zipf_s=1.05)
     cfg = EngineConfig(merge_mode="mor", compact_delta_files=10**9,
                        n_buckets=32)
     ta = os.path.join(base, "ta")
-    replay_stream(spark, binlog, ta, os.path.join(base, "ckpt"),
-                  config=cfg, max_files_per_trigger=max(1, n_segments // 8))
+    ckpt = os.path.join(base, "ckpt")
+    replay_stream(spark, blg1, ta, ckpt,
+                  config=cfg, max_files_per_trigger=max(1, n_segments // 4))
+    compact(spark, ta, config=cfg)  # the bases
+    # wave 2 lands as NEW files in the same tailed dir (resume the same
+    # checkpoint — two fresh checkpoints would collide on batch ids)
+    for i, fn in enumerate(sorted(os.listdir(blg2))):
+        if fn.endswith(".parquet"):
+            os.link(os.path.join(blg2, fn),
+                    os.path.join(blg1, f"segment-9{i:05d}.parquet"))
+    replay_stream(spark, blg1, ta, ckpt, config=cfg,
+                  max_files_per_trigger=1)
     tb = os.path.join(base, "tb")
     shutil.copytree(ta, tb)
 
