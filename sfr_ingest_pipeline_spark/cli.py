@@ -389,6 +389,12 @@ def cmd_query(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        # the plan-shape audit surface: what test_plans.py gates (pushdown,
+        # pruning, broadcast, partial agg, codegen spans) made visible for
+        # any catalog query without writing a test
+        df.explain("formatted")
+        return 0
     if args.limit:
         df = df.limit(args.limit)
     n = 0
@@ -1089,6 +1095,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=0)
     q.add_argument("--list", action="store_true")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
     _add_spark_args(q)
     q.set_defaults(fn=cmd_query)
 
