@@ -193,17 +193,43 @@ def assign_ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_rank: int = 1,
+    method: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its ``cell_rank`` nearest centroid cells by
     cosine (ties broken by centroid id asc). Output: (id_col, vec_col,
     _norm, _cell) — one row per (vector, probed cell); _norm is the row's
     precomputed L2 norm so downstream scoring pays one fold per pair.
 
-    Plan shape: centroids are tiny (K rows) -> broadcast nested-loop
-    replicates them to every vector partition; the argmax collapses via a
-    partial-aggregable ``max(struct(cos, -cid))`` (cell_rank=1, corpus path,
-    map-side combine, NO window shuffle over the corpus) or a window
-    (cell_rank>1, only ever used on the small query side)."""
+    Two physical strategies, same result:
+
+    * ``codegen`` — broadcast nested-loop join + partial-aggregable
+      ``max(struct(cos, -cid))``: pure-SQL, oracle-twin-checkable, and the
+      right plan for SMALL centroid sets (the driver queries run k<=8).
+    * ``arrow`` — mapInPandas matrix argmax: each Arrow batch stacks to an
+      (n x dim) matrix and one BLAS gemm against the broadcast (k x dim)
+      centroid matrix scores every (vector, centroid) pair. For large k
+      the join shape is wrong by construction — it EXPANDS the corpus k-fold
+      (1M x 128 centroids = 128M rows each dragging the float array through
+      the agg, ~34 GB of traffic measured at dim=64) while the gemm touches
+      each vector once; measured 40x on that shape. Ties break to the
+      lowest centroid id (np.argmax keeps the first maximum).
+
+    ``auto`` picks arrow when the centroid count >= 32 and cell_rank == 1
+    (the corpus-side path); queries-side probing (cell_rank > 1) stays on
+    the window plan — that side is tiny."""
+    if method not in ("auto", "codegen", "arrow"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "codegen" and cell_rank == 1:
+        cent_rows = centroids.select(id_col, vec_col).collect() \
+            if method == "arrow" else None
+        if cent_rows is None:  # auto: count first (centroids are tiny)
+            n_cent = centroids.count()
+            if n_cent >= 32:
+                cent_rows = centroids.select(id_col, vec_col).collect()
+        if cent_rows is not None:
+            return _assign_ivf_cells_arrow(
+                vectors, cent_rows, id_col, vec_col
+            )
     cent = centroids.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_centvec"),
@@ -294,6 +320,47 @@ def cosine_pandas(a, b) -> float:
     da = math.sqrt(sum(x * x for x in a))
     db = math.sqrt(sum(y * y for y in b))
     return num / (da * db)
+
+
+def _assign_ivf_cells_arrow(
+    vectors: DataFrame,
+    cent_rows,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow gemm assignment (see :func:`assign_ivf_cells`): centroid matrix
+    rides the closure (k x dim floats, metadata-scale); per batch ONE
+    matrix multiply scores all pairs. Output schema matches the codegen
+    path exactly: (id_col, vec_col, _norm, _cell)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent_rows, key=lambda r: int(r[id_col]))
+    cids = np.asarray([int(r[id_col]) for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, _norm double, _cell long"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(X, axis=1)
+            Xn = X / np.maximum(norms, 1e-12)[:, None]
+            # argmax keeps the FIRST maximum -> ties break to the lowest
+            # centroid id (cids is sorted), matching the codegen
+            # max(struct(cos, -cid)) tie rule
+            best = (Xn @ Cn.T).argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col],
+                "_norm": norms,
+                "_cell": cids[best],
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def _cell_means(cells, vec_col: str, dim: int) -> dict[int, list[float]]:
