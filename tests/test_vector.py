@@ -342,3 +342,45 @@ def test_pq_refine_recall_vs_brute_force(spark):
     raw = {(r["query_id"], r["neighbor_id"])
            for r in V.pq_topk(codes, queries, books, k=5, dim=64).collect()}
     assert len(bf & refined) >= len(bf & raw)
+
+
+def test_assign_ivf_cells_arrow_equals_codegen(spark):
+    """The Arrow gemm assignment (large centroid sets) must agree with the
+    pure-SQL broadcast+max(struct) plan cell-for-cell, including the
+    ties-to-lowest-centroid-id rule."""
+    from pyspark.sql import functions as F
+
+    from sfr_ingest_pipeline_spark.functions.vector import assign_ivf_cells
+
+    def hvec(seed, n, dim, nparts=8):
+        return spark.range(0, n, 1, nparts).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda d: (
+                    (F.pmod(F.xxhash64(F.lit(seed), F.col("id"), d),
+                            F.lit(1000)).cast("double") / 500) - 1
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    vecs = hvec("v", 4000, 16)
+    cents = hvec("c", 40, 16, nparts=1)
+    a = {r.vec_id: r._cell for r in
+         assign_ivf_cells(vecs, cents, method="codegen")
+         .select("vec_id", "_cell").collect()}
+    b = {r.vec_id: r._cell for r in
+         assign_ivf_cells(vecs, cents, method="arrow")
+         .select("vec_id", "_cell").collect()}
+    assert a == b and len(a) == 4000
+
+    # exact-duplicate centroids force ties: both plans must pick the lowest
+    dup = cents.union(cents.withColumn("vec_id", F.col("vec_id") + 40))
+    a = {r.vec_id: r._cell for r in
+         assign_ivf_cells(vecs, dup, method="codegen")
+         .select("vec_id", "_cell").collect()}
+    b = {r.vec_id: r._cell for r in
+         assign_ivf_cells(vecs, dup, method="arrow")
+         .select("vec_id", "_cell").collect()}
+    assert a == b
+    assert all(c < 40 for c in b.values())  # ties resolved to the dup's low id
