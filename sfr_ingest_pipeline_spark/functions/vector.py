@@ -513,6 +513,15 @@ def pq_encode(
     d = len(codebooks[0][0]) * m
     if dim != d:
         raise ValueError(f"codebooks cover dim {d}, expected {dim}")
+    kc = len(codebooks[0])
+    if kc >= 32:
+        # large codebooks: the transform-over-literal argmin exceeds the
+        # codegen method limit and Catalyst falls back to INTERPRETED row
+        # eval (~100x; jstack-verified on the 1M-vector bench at kc=64) —
+        # use the Arrow gemm kernel instead. Small kc stays pure-SQL
+        # (the oracle-twin-checkable driver shape).
+        return _pq_codes_arrow(vectors, codebooks, id_col, vec_col, dim,
+                               normalize)
     vec = F.col(vec_col)
     if normalize:
         norm = l2_norm(vec)
@@ -526,6 +535,53 @@ def pq_encode(
         dists = F.transform(_codebook_lit(codebooks[s]), _dist_fn(sub))
         out_codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return vectors.select(F.col(id_col), F.array(*out_codes).alias("codes"))
+
+
+def _pq_sub_codes(X, books_np):
+    """per-subspace L2 argmin codes for an (n x dim) float64 matrix;
+    ties to the lowest centroid index (np.argmin keeps the first min,
+    matching array_position-of-array_min)."""
+    import numpy as np
+
+    m, _kc, sub_dim = books_np.shape
+    out = np.empty((X.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        sub = X[:, s * sub_dim:(s + 1) * sub_dim]
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        cc = (books_np[s] * books_np[s]).sum(axis=1)
+        out[:, s] = (cc[None, :] - 2.0 * (sub @ books_np[s].T)).argmin(axis=1)
+    return out
+
+
+def _pq_codes_arrow(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    normalize: bool,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    books_np = np.asarray(codebooks, dtype=np.float64)  # (m, kc, sub_dim)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if normalize:
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = _pq_sub_codes(X, books_np)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
 
 
 def train_pq_codebooks(
@@ -603,19 +659,63 @@ def train_pq_codebooks(
                 "sums": [v[1].tolist() for v in acc.values()],
             })
 
-    for _ in range(iters):
-        def _dist_fn(col_name):
-            return lambda c: _l2sq(F.col(col_name), c)
+    def fold_with_assign(books_now):
+        # kc >= 32: the codegen argmin falls out of whole-stage codegen
+        # into interpreted eval (see pq_encode) — assign in the SAME numpy
+        # pass that folds the sums, one Arrow scan, zero Catalyst argmin
+        books_np = np.asarray(books_now, dtype=np.float64)
 
-        assigned = base
-        for s in range(m):
-            dists = F.transform(_codebook_lit(books[s]), _dist_fn(f"_sub_{s}"))
-            assigned = assigned.withColumn(
-                f"_code_{s}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-            )
-        parts = assigned.mapInPandas(
-            fold, "part long, sub int, cell int, cnt long, sums array<double>"
-        ).collect()
+        def run(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            acc: dict[tuple[int, int], list] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mats = [
+                    np.stack([np.asarray(v, dtype=np.float64) for v in pdf[f"_sub_{s}"]])
+                    for s in range(m)
+                ]
+                X = np.concatenate(mats, axis=1)
+                codes = _pq_sub_codes(X, books_np)
+                for s in range(m):
+                    for cell in np.unique(codes[:, s]):
+                        sel = mats[s][codes[:, s] == cell]
+                        ent = acc.setdefault((s, int(cell)), [0, np.zeros(sub_dim)])
+                        ent[0] += sel.shape[0]
+                        ent[1] += sel.sum(axis=0)
+            if acc:
+                yield pd.DataFrame({
+                    "part": pid,
+                    "sub": [k[0] for k in acc],
+                    "cell": [k[1] for k in acc],
+                    "cnt": [v[0] for v in acc.values()],
+                    "sums": [v[1].tolist() for v in acc.values()],
+                })
+
+        return run
+
+    for _ in range(iters):
+        if kc >= 32:
+            parts = base.mapInPandas(
+                fold_with_assign(books),
+                "part long, sub int, cell int, cnt long, sums array<double>",
+            ).collect()
+        else:
+            def _dist_fn(col_name):
+                return lambda c: _l2sq(F.col(col_name), c)
+
+            assigned = base
+            for s in range(m):
+                dists = F.transform(_codebook_lit(books[s]), _dist_fn(f"_sub_{s}"))
+                assigned = assigned.withColumn(
+                    f"_code_{s}",
+                    (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+                )
+            parts = assigned.mapInPandas(
+                fold, "part long, sub int, cell int, cnt long, sums array<double>"
+            ).collect()
         agg: dict[tuple[int, int], list] = {}
         for r in sorted(parts, key=lambda r: (r["sub"], r["cell"], r["part"])):
             ent = agg.setdefault((int(r["sub"]), int(r["cell"])), [0, np.zeros(sub_dim)])

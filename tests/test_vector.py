@@ -384,3 +384,36 @@ def test_assign_ivf_cells_arrow_equals_codegen(spark):
          .select("vec_id", "_cell").collect()}
     assert a == b
     assert all(c < 40 for c in b.values())  # ties resolved to the dup's low id
+
+
+def test_pq_encode_arrow_equals_codegen(spark):
+    """The Arrow PQ encoder (large codebooks, where the codegen argmin
+    drops to interpreted eval) must emit identical codes to the pure-SQL
+    path on the same books."""
+    from pyspark.sql import functions as F
+
+    from sfr_ingest_pipeline_spark.functions import vector as V
+
+    vecs = spark.range(0, 2000, 1, 8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda d: (
+                (F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000))
+                 .cast("double") / 500) - 1
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    books = V.train_pq_codebooks(vecs, m=4, kc=16, iters=2, dim=32)
+    a = {r.vec_id: list(r.codes)
+         for r in V.pq_encode(vecs, books, dim=32).collect()}
+    b = {r.vec_id: list(r.codes)
+         for r in V._pq_codes_arrow(vecs, books, "vec_id", "embedding",
+                                    32, True).collect()}
+    assert a == b and len(a) == 2000
+
+    # large-kc trainer path (numpy assign fused into the fold) converges
+    # and its books encode every vector
+    books64 = V.train_pq_codebooks(vecs, m=4, kc=64, iters=2, dim=32)
+    assert len(books64[0]) == 64
+    assert V.pq_encode(vecs, books64, dim=32).count() == 2000
