@@ -71,7 +71,7 @@ def main() -> int:
            "n_families": n_fam, "synth_sec": round(time.time() - t0, 2)}
 
     queries = (
-        spark.range(0, 64, 1, 4)
+        spark.range(0, 16, 1, 4)
         .withColumn("_fam", F.pmod(F.xxhash64(F.lit("qf"), F.col("id")), F.lit(n_fam)))
         .select((F.col("id") + n_vecs).alias("vec_id"),
                 vec_expr("q", F.col("_fam"), 0.25).alias("embedding"))
@@ -79,12 +79,49 @@ def main() -> int:
     queries.count()
 
     K = 10
+    # exact ground truth the scale-honest way: per-partition BLAS top-k
+    # (mapInPandas) + driver merge of the tiny partials. The pure-SQL
+    # brute_force_topk stays the ORACLE shape at driver scale, but its
+    # crossJoin EXPANDS the corpus q-fold — at 1M x 64 queries that is 64M
+    # rows dragging two float arrays through a window shuffle (measured:
+    # one >12-min stage); the gemm touches each vector once.
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(queries.collect(), key=lambda r: r.vec_id)
+    qids = np.asarray([r.vec_id for r in q_rows])
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def part_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Xn @ Qn.T  # (n, q)
+            ids = pdf["vec_id"].to_numpy()
+            n = S.shape[0]
+            take = min(K, n)
+            top = np.argpartition(-S, take - 1, axis=0)[:take]
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for j in range(S.shape[1]):
+                for i in top[:, j]:
+                    rows["query_id"].append(qids[j])
+                    rows["neighbor_id"].append(ids[i])
+                    rows["cos_sim"].append(S[i, j])
+            yield pd.DataFrame(rows)
+
     t0 = time.time()
-    exact = {
-        (r.query_id, r.neighbor_id)
-        for r in V.brute_force_topk(corpus, queries, k=K).collect()
-    }
-    out["brute_force"] = {"query_sec": round(time.time() - t0, 2)}
+    parts = corpus.mapInPandas(
+        part_topk, "query_id long, neighbor_id long, cos_sim double"
+    ).toPandas()
+    exact = set()
+    for qid, grp in parts.groupby("query_id"):
+        grp = grp.sort_values(["cos_sim", "neighbor_id"],
+                              ascending=[False, True]).head(K)
+        exact |= {(qid, int(n)) for n in grp["neighbor_id"]}
+    out["exact_gemm_baseline"] = {"query_sec": round(time.time() - t0, 2)}
 
     def recall(rows):
         got = {(r.query_id, r.neighbor_id) for r in rows}
@@ -120,6 +157,21 @@ def main() -> int:
                      corpus=corpus).collect()
     out["pq_adc_refine4"] = {"query_sec": round(time.time() - t0, 2),
                              "recall_at_10": recall(rows)}
+
+    # finer codes + deep refine: the recall-recovery knob when family-sized
+    # clusters collapse to identical codes (see BENCH/SCALE.md geometry note)
+    t0 = time.time()
+    books16 = V.train_pq_codebooks(corpus, m=16, kc=64, iters=2, dim=dim)
+    tr16 = round(time.time() - t0, 2)
+    codes16_path = os.path.join(base, "codes16.parquet")
+    V.pq_encode(corpus, books16, dim=dim).write.parquet(codes16_path)
+    codes16 = spark.read.parquet(codes16_path)
+    t0 = time.time()
+    rows = V.pq_topk(codes16, queries, books16, k=K, dim=dim, refine=64,
+                     corpus=corpus).collect()
+    out["pq_m16_refine64"] = {"train_sec": tr16,
+                              "query_sec": round(time.time() - t0, 2),
+                              "recall_at_10": recall(rows)}
 
     print(json.dumps(out))
     shutil.rmtree(base, ignore_errors=True)
