@@ -1737,7 +1737,10 @@ def q_repetition_flags(spark, sf_dir):
     repetition_stats) + the quality flag a filter stage would gate on."""
     docs = _t(spark, sf_dir, "documents")
     stats = TX.repetition_stats(docs, "doc_id", "text")
-    return stats.withColumn(
+    # n_words as double: the oracle's un-cast sum() is a DuckDB HUGEINT that
+    # lands in pandas as float64, and the driver's value-hash distinguishes
+    # 34 (int64) from 34.0 (float64) — CORRECTNESS_r05 hash_match=false.
+    return stats.withColumn("n_words", F.col("n_words").cast("double")).withColumn(
         "flagged",
         (F.col("top_word_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.2),
     )
