@@ -341,6 +341,8 @@ def apply_batch(
     # (bucket discovery, then the merge): caching deserialized rows measured
     # ~35% SLOWER than re-decoding the zstd parquet at local[8] — columnar
     # decode is cheaper than row-cache memory traffic
+    sc = spark.sparkContext
+    sc.setJobDescription(f"merge[{batch_id}]: bucket discovery")
     obs_in = Observation(f"rows_in_{batch_id}_{uuid.uuid4().hex[:6]}")
     bucketed = batch_df.select(
         bucket_expr(F.col("conv_id"), table.n_buckets).alias("_bucket"),
@@ -510,15 +512,38 @@ def apply_batch(
         )
         out = out.filter(keep_filter)
 
-    out = out.drop("_src_rank", "_n_s", "_has_t", "_changed")
+    out = out.drop("_src_rank", "_n_s", "_has_t")
     if normalize and "text" in out.columns:
-        # idempotent -> safe on carried-forward target rows too
-        out = out.withColumn("text", normalize_text_udf("text"))
+        if os.environ.get("SPARK_GRAFT_NORM_ALL"):
+            out = out.withColumn("text", normalize_text_udf("text"))
+        else:
+            # Normalize ONLY rows whose state changed this batch: carried
+            # target rows were normalized when first written (normalization
+            # is idempotent, so re-running it is a provable no-op on them)
+            # — in a compaction batch they are the whole table, and pushing
+            # them through the Arrow boundary again was pure overhead. The
+            # UDF input is masked to NULL for unchanged rows, so only
+            # changed rows' bytes cross to Python (guide §4).
+            masked = normalize_text_udf(
+                F.when(F.col("_changed"), F.col("text"))
+            )
+            out = out.withColumn(
+                "text",
+                F.when(F.col("_changed"), masked).otherwise(F.col("text")),
+            )
     if config.redact_pii and "text" in out.columns:
         # after normalize, mirroring the oracle; idempotent like it
         from sfr_ingest_pipeline_spark.functions.pii import redact_pii
 
-        out = out.withColumn("text", redact_pii("text"))
+        if os.environ.get("SPARK_GRAFT_NORM_ALL"):
+            out = out.withColumn("text", redact_pii("text"))
+        else:
+            out = out.withColumn(
+                "text",
+                F.when(F.col("_changed"), redact_pii(F.col("text")))
+                .otherwise(F.col("text")),
+            )
+    out = out.drop("_changed")
 
     commit_rel = f"data/snap-{table.next_commit_seq:08d}-{uuid.uuid4().hex[:8]}"
     out_dir = f"{table.root}/{commit_rel}"
@@ -527,16 +552,32 @@ def apply_batch(
         n_wsalt = 1
     else:
         n_wsalt = max(1, min(8, config.shuffle_partitions // max(1, len(touched))))
+    # spread the (bucket, wsalt) groups over more bins than groups: hashing
+    # G groups into exactly G partitions leaves ~1/e of tasks empty and
+    # stacks 2-3 groups on others (guide §2.5) — the write stage then runs
+    # at a fraction of the cores. 4x bins cut collisions; file layout is
+    # unchanged (each group still lands wholly in one task).
+    wfactor = int(os.environ.get("SPARK_GRAFT_WFACTOR", "4"))
     writable = (
         out.withColumn(
             "_wsalt",
             F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_wsalt)),
         )
-        .repartition(len(touched) * n_wsalt, F.col("_bucket"), F.col("_wsalt"))
-        .sortWithinPartitions(*key_cols)
+        .repartition(len(touched) * n_wsalt * wfactor,
+                     F.col("_bucket"), F.col("_wsalt"))
+        # lead the sort with _bucket: satisfies the writer's dynamic-
+        # partition ordering requirement, so FileFormatWriter does not
+        # insert its own sort on top — one sort instead of two, same file
+        # contents (the old bucket re-sort was stable over key order)
+        .sortWithinPartitions("_bucket", *key_cols)
         .drop("_wsalt")
     )
+    sc.setJobDescription(
+        f"merge[{batch_id}]: fused LWW merge + write "
+        f"({len(touched)} buckets, {len(compact)} compact)"
+    )
     writable.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+    sc.setJobDescription(None)
 
     try:
         metrics = obs_m.get

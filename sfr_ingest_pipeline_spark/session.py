@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +60,25 @@ def get_spark(
         builder = builder.config("spark.submit.pyFiles", _engine_zip())
     for k, v in config.spark_confs.items():
         builder = builder.config(k, v)
+    # Scan-parallelism floor (round 6): the bench binlog segments are ~30 MB
+    # multi-row-group files, and with the stock 128 MB maxPartitionBytes a
+    # 2-file microbatch scans as 1-2 tasks — every downstream map-side stage
+    # (decode, partial LWW agg) then runs on 1-2 of 32 cores. Setting
+    # spark.sql.files.minPartitionNum to the local core count makes
+    # FilePartition target totalBytes/cores per split (floored by the 4 MB
+    # openCost), restoring full-width scans; measured 74-100s -> 26-44s on
+    # the 8.4M-event replay. Scale note: on a real cluster input splits
+    # already exceed the core count for any non-trivial scan, so this floor
+    # is a no-op there; it only rescues small-file/small-batch scans.
+    cores = None
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
+    mc = re.fullmatch(r"local-cluster\[(\d+),(\d+),\d+\]", master or "")
+    if m:
+        cores = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+    elif mc:
+        cores = int(mc.group(1)) * int(mc.group(2))
+    if cores and "spark.sql.files.minPartitionNum" not in (extra_confs or {}):
+        builder = builder.config("spark.sql.files.minPartitionNum", str(cores))
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
@@ -74,5 +94,6 @@ def get_spark(
     builder = builder.config(
         "spark.executor.extraJavaOptions", "-XX:+UseParallelGC"
     )
-    builder = builder.config("spark.ui.enabled", "false")
+    if "spark.ui.enabled" not in (extra_confs or {}):
+        builder = builder.config("spark.ui.enabled", "false")
     return builder.getOrCreate()
