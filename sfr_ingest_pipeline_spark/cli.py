@@ -927,7 +927,7 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire", help="expire old snapshots + GC data files")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=5)
-    e.add_argument("--orphan-grace-s", type=float, default=600.0,
+    e.add_argument("--orphan-grace-s", type=float, default=86_400.0,
                    help="never-committed files younger than this survive GC "
                         "(in-flight writer protection); committed history "
                         "expires immediately regardless")

@@ -418,20 +418,29 @@ def cross_doc_ngram_dup(
     dedup: catches boilerplate and quote-heavy near-copies that whole-doc
     hashing misses.
 
-    Shape: explode -> distinct (doc_id, gram) -> gram doc-frequency hash
-    agg (map-side partial) -> join back on gram -> per-doc agg. Every stage
-    keys on gram or doc id; no driver actions, no cartesian. At 100 TB the
-    gram doc-frequency table is the big intermediate — it shuffles once and
-    AQE handles skewed grams (boilerplate appearing in millions of docs
-    lands in one reducer ONLY for the count, which is a partial-agg sum)."""
-    grams = (
-        df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
-        .distinct()
+    Shape (round 6): per-doc array_distinct -> explode (already-distinct
+    (doc_id, gram) rows, no distinct exchange) -> gram doc-frequency via a
+    gram-partitioned window count -> per-doc agg. The previous
+    distinct + groupBy(gram) + join-back formulation evaluated the gram
+    construction lineage TWICE (no ReusedExchange even at runtime) — gram
+    building, not the shuffle, dominates this operator. One build, one
+    gram exchange; measured 1.11s -> 0.72s at sf0.1, identical rows.
+    Every stage keys on gram or doc id; no driver actions, no cartesian.
+    At 100 TB skewed grams (boilerplate in millions of docs) land in one
+    window partition — acceptable while gram frequency ~ docs/gram stays
+    far below rows-per-task; a salted two-level count is the escape hatch
+    if a corpus breaks that."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
     )
-    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    withdf = grams.withColumn(
+        "gdf", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
     return (
-        grams.join(gdf, "g")
-        .groupBy(id_col)
+        withdf.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0)).alias("n_shared"),

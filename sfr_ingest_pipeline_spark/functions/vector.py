@@ -219,6 +219,14 @@ def assign_ivf_cells(
     the window plan — that side is tiny."""
     if method not in ("auto", "codegen", "arrow"):
         raise ValueError(f"unknown method {method!r}")
+    if method == "arrow" and cell_rank != 1:
+        # an explicit strategy request must not silently fall through to
+        # the window plan (ADVICE r5); top-r is not implemented in the
+        # arrow kernel
+        raise ValueError(
+            "method='arrow' supports cell_rank=1 only; use method='auto' "
+            "or 'codegen' for multi-cell probing"
+        )
     if method != "codegen" and cell_rank == 1:
         cent_rows = centroids.select(id_col, vec_col).collect() \
             if method == "arrow" else None

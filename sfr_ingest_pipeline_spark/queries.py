@@ -2052,7 +2052,7 @@ _CHUNK, _STRIDE = 32, 24
 
 
 def q_doc_chunks(spark, sf_dir):
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("ws"),

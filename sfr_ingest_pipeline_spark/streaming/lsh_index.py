@@ -92,7 +92,28 @@ class IncrementalLshIndex:
         if not os.path.exists(self._state_path):
             return None
         with open(self._state_path) as f:
-            return json.load(f)["last_snapshot_id"]
+            state = json.load(f)
+        # Signature-parameter guard (ADVICE r5): signatures built under
+        # different (n_bands, k, rows_per_band, mode) can never collide
+        # with this instance's, so refreshing a drifted index would
+        # silently stop finding pairs (and tombstone valid ones). Refuse
+        # instead of corrupting; the caller rebuilds from scratch.
+        stored = {p: state[p]
+                  for p in ("n_bands", "k", "rows_per_band", "mode")
+                  if p in state}
+        mine = {"n_bands": self.n_bands, "k": self.k,
+                "rows_per_band": self.rows_per_band, "mode": self.mode}
+        drift = {p: (v, mine[p]) for p, v in stored.items() if v != mine[p]}
+        if drift:
+            raise ValueError(
+                f"LSH index at {self.index_root} was built with "
+                f"{ {p: v[0] for p, v in drift.items()} } but this instance "
+                f"uses { {p: v[1] for p, v in drift.items()} }; signatures "
+                "across parameter sets never collide — delete the index "
+                "directory and rebuild (or construct with the stored "
+                "parameters)"
+            )
+        return state["last_snapshot_id"]
 
     def _save_cursor(self, snapshot_id: int) -> None:
         tmp = f"{self._state_path}.tmp-{uuid.uuid4().hex[:8]}"

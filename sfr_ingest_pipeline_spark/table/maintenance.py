@@ -137,7 +137,7 @@ def compact_minor(
 
 
 def expire_snapshots(
-    table_root: str, keep_last: int = 5, orphan_grace_s: float = 600.0
+    table_root: str, keep_last: int = 5, orphan_grace_s: float = 86_400.0
 ) -> dict:
     """Drop snapshot metadata older than the last ``keep_last`` and delete
     data files no retained snapshot references. The time-travel window
@@ -153,9 +153,12 @@ def expire_snapshots(
       writer, or the live output of an IN-FLIGHT writer that has written
       its files but not yet CAS-committed its snapshot. Deleting the
       latter would make the imminent commit reference missing files, so
-      these are only removed once older than ``orphan_grace_s`` (mtime;
-      default 10 min — far beyond a write->commit gap, the same
-      age-threshold contract as Iceberg's remove_orphan_files). Counted
+      these are only removed once older than ``orphan_grace_s``. The
+      grace is measured from each FILE's mtime, so it must exceed the
+      in-flight writer's ENTIRE write duration (its earliest file ages
+      from the moment it is written, not from when the write finishes) —
+      not merely the write->commit gap (ADVICE r5). Default 1 day; Iceberg's
+      remove_orphan_files uses 3 days for the same contract. Counted
       separately as ``dropped_orphans`` / ``skipped_recent_orphans``.
 
     Retention contract for concurrent readers: a reader holding a RETAINED
@@ -505,11 +508,16 @@ def recluster(
         ts_cuts = resolved.select(
             F.unix_micros(F.col("ts")).alias("_us")
         ).approxQuantile("_us", [i / (n_cuts + 1) for i in range(1, n_cuts + 1)], 0.001)
-        # string quantiles: deterministic sample -> driver sort -> even slices
+        # string quantiles: hash-ordered deterministic sample -> driver
+        # sort -> even slices. Ordering by xxhash64(conv_id) before the
+        # limit decorrelates the sample from the table's physical
+        # clustering (ADVICE r5: fraction-1.0 sample + limit was a
+        # partition-order PREFIX, skewing cutpoints on clustered input);
+        # TakeOrdered keeps it a per-partition heap, no full sort.
         sample = [
             r["conv_id"]
             for r in resolved.select("conv_id")
-            .sample(fraction=1.0, seed=42, withReplacement=False)
+            .orderBy(F.xxhash64("conv_id"))
             .limit(50_000).collect()
         ] or [""]
         sample.sort()

@@ -176,3 +176,27 @@ def test_crash_between_append_and_cursor_is_idempotent(
     r = idx.refresh(spark)
     assert r["mode"] == "delta"
     assert _index_pairs(spark, idx) == _batch_pairs(spark, root)
+
+
+def test_param_drift_refuses_refresh(spark, tmp_path, segments_basic, small_cfg):
+    """An index must refuse to refresh under different signature parameters
+    (ADVICE r5): cross-parameter signatures never collide, so a drifted
+    refresh would silently stop finding pairs instead of failing loudly."""
+    cfg = dc_replace(small_cfg, merge_mode="mor")
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root, n_buckets=cfg.n_buckets)
+    apply_batch(spark, root, spark.createDataFrame(segments_basic[0]), 0,
+                config=cfg)
+    idx = IncrementalLshIndex(str(tmp_path / "lsh"), root,
+                              n_bands=N_BANDS, k=K, max_bucket_size=CAP)
+    idx.refresh(spark)
+
+    drifted = IncrementalLshIndex(str(tmp_path / "lsh"), root,
+                                  n_bands=N_BANDS, k=K + 1,
+                                  max_bucket_size=CAP)
+    with pytest.raises(ValueError, match="delete the index"):
+        drifted.refresh(spark)
+
+    # the original parameters still work after the refusal (no new
+    # snapshots since the first refresh -> a clean noop, not an error)
+    assert idx.refresh(spark)["mode"] == "noop"
