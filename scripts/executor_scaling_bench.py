@@ -112,7 +112,7 @@ def pairs_only(n_events: int, pairs: int) -> int:
     load1 = os.getloadavg()[0]
     md = f"""
 
-## Round-5 quiet-window re-measure of the criterion rung ({time.strftime('%Y-%m-%d')})
+## Quiet-window re-measure of the criterion rung ({time.strftime('%Y-%m-%d')})
 
 `python scripts/executor_scaling_bench.py {n_events} {pairs} --pairs-only` —
 {pairs} strictly interleaved 1-exec/4-exec pairs (order alternating within
