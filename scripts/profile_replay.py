@@ -61,9 +61,24 @@ def main() -> int:
     app_id = spark.sparkContext.applicationId
     stages = json.load(urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app_id}/stages?status=COMPLETE"))
+    # map stage -> job description (the setJobDescription labels) so the
+    # table groups by PHASE, not by the (useless) lambda-site stage name
+    jobs = json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/jobs"))
+    stage_desc: dict[int, str] = {}
+    for j in jobs:
+        d = (j.get("description") or j.get("name") or "?").split("\n")[0]
+        # strip the per-batch id so batches aggregate: "merge[3]: x" -> "merge: x"
+        import re as _re
+
+        d = _re.sub(r"\[\d+\]", "", d)[:80]
+        for sid in j.get("stageIds", []):
+            stage_desc[sid] = d
     agg: dict[str, list[float]] = {}
     for s in stages:
-        name = s["name"].split("\n")[0][:90]
+        name = stage_desc.get(
+            s["stageId"], s["name"].split("\n")[0][:80]
+        ) + (" | shuffle-read" if s.get("shuffleReadBytes") else " | map")
         dur = 0.0
         if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
             from datetime import datetime

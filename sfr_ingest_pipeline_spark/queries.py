@@ -482,12 +482,19 @@ def q_embedding_near_dups(spark, sf_dir):
     SRP-bucketed candidates (Hamming radius 1 — same LSH as srp_ann_topk)
     filtered by exact cosine >= 0.4. Never a cross join on the Spark side;
     the oracle mirrors the bucket condition with bit_count(xor(...)) <= 1."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
-    b = emb.select(
-        "vec_id", "embedding",
-        V.l2_norm(F.col("embedding")).alias("_norm"),
-        V.srp_bucket(F.col("embedding"), dim=64, n_planes=4).alias("_bkt"),
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    # bucket + norm in one Arrow kernel (bit-identical fold — vector.py):
+    # the interpreted srp_bucket HOFs measured ~1.4 ms/row AND the b
+    # lineage is re-evaluated once per consuming branch (hot guard, left,
+    # right — column pruning defeats exchange reuse), so the interpreted
+    # cost was paid three times. The kernel runs BEFORE the _spread fan-out:
+    # a narrow scan keeps each (vectorized, cheap) kernel evaluation to one
+    # Python round trip, while the spread still widens the expensive
+    # candidate-pair stage below (round-6)
+    b = _spread(V.with_srp_buckets_arrow(
+        emb.select("vec_id", "embedding"), "embedding", dim=64, n_planes=4,
+        bucket_col="_bkt", norm_col="_norm",
+    ))
     # hot-bucket guard (round-2 verdict item 6): pairs meet in the smaller
     # id's HOME bucket (the id_a < id_b filter keeps only that meeting), so
     # dropping hot home buckets from the left side caps pair work while the
