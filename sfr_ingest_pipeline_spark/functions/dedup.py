@@ -185,6 +185,12 @@ def lsh_candidate_pairs(
     reps = groups.select(
         F.col("_canon").alias(id_col), F.col("_text").alias(text_col)
     )
+    # fan the distinct texts out BEFORE the md5-shingle hashing: the groups
+    # aggregate's output exchange is AQE-coalesced to 1-2 partitions (it is
+    # sub-MB), and the minhash pass — the operator's dominant cost — then
+    # ran near-serial regardless of scan width (round-6: 5.1s -> 1.0s warm
+    # at sf0.1; user repartitions are exempt from coalescing)
+    reps = reps.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sigs = minhash_bands(reps, text_col, n_bands, k, rows_per_band, mode)
     # ONE hashing pass, ONE shuffle, NO self-join: melt the band columns
     # into (band, sig) rows, group each bucket to a sorted id array, and
@@ -321,6 +327,12 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
     )
 
+    # fan the distinct texts out BEFORE the simhash: the groups aggregate is
+    # tiny, so AQE coalesces its exchange to 1-2 partitions — and the
+    # interpreted simhash fold (the operator's dominant cost) then ran on
+    # 1-2 of the session's cores (round-6; user repartitions are exempt
+    # from AQE coalescing)
+    groups = groups.repartition(df.sparkSession.sparkContext.defaultParallelism)
     reps = groups.select(
         "_sha",
         simhash32("_text", word=0).alias("_lo"),
@@ -337,6 +349,14 @@ def simhash_near_dup_pairs(
         "_sha", "_lo", "_hi",
         F.posexplode(F.array(*band_keys)).alias("_band", "_key"),
     )
+    # materialize the (id-and-signature-only, O(distinct texts)) banded
+    # table ONCE: it feeds three consumers (bucket-cap keys, join left,
+    # join right) and each re-evaluated the whole simhash lineage — column
+    # pruning makes the subtrees non-identical, so exchange reuse can never
+    # fire (round-6: 3x the operator's CPU). An eager localCheckpoint is an
+    # intra-query barrier, not a cross-run cache: every invocation still
+    # computes from the parquet input.
+    banded = banded.localCheckpoint(eager=True)
     ok_keys = (
         banded.groupBy("_band", "_key")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -670,7 +670,15 @@ def q_minhash_lsh_dedup_pairs(spark, sf_dir):
     verification >= 0.5. The DuckDB twin mirrors every stage byte-for-byte
     (same md5 slices, same bucket cap, same gram construction)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
+    # fan the (id_a, id_b) candidate stream out before the verify joins:
+    # the Jaccard verification (two tokenizations + gram builds per pair)
+    # lands in the join condition of the stage ABOVE the candidate
+    # exchange, and AQE coalesces that sub-MB exchange to 1-2 partitions —
+    # the compute-dense verify then ran near-serial (round-6; user
+    # repartitions are exempt from coalescing, and the pair rows are two
+    # longs, so the extra exchange is noise at any scale)
     cand = D.lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4, k=5)
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
     scored = (
