@@ -64,9 +64,16 @@ def connected_components(
         raise ValueError(
             f"unknown algorithm {algorithm!r}: label-propagation|alternating"
         )
+    # materialize the edge lineage ONCE before undirecting: the two union
+    # sides are different projections of the same (often expensive — e.g. a
+    # fuzzy levenshtein join) pair computation, and Spark evaluated it per
+    # side (round-6: 2x the pair-generation CPU). The checkpointed edge
+    # list is O(pairs) — metadata-scale next to the computation it caps.
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
     und = und.localCheckpoint(eager=True)
@@ -151,17 +158,19 @@ def _alternating_components(
     (sum of path lengths to minima), so the edge set reaches a star forest
     — every edge (v, root) — in O(log^2 n) rounds; fingerprint equality of
     two consecutive rounds detects it."""
+    # one materialization of the (possibly expensive) edge lineage; the
+    # nodes union and the working edge set both derive from it (round-6 —
+    # the previous shape evaluated `edges` three times)
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    e = e0.filter(F.col("a") != F.col("b")).distinct()
     e, fp = _fingerprinted_checkpoint(e)
 
     def _sym(df: DataFrame) -> DataFrame:
