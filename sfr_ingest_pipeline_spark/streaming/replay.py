@@ -15,6 +15,8 @@ alone is transactional.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,7 +103,57 @@ def replay_stream(
     class _InjectedCrash(RuntimeError):
         pass
 
+    # The df handed to foreachBatch is an ExistingRDD over the source's own
+    # incremental plan: every action on it re-decodes EVERY column of the
+    # batch parquet (column pruning cannot cross an RDD boundary), and the
+    # MERGE runs two actions per batch (bucket discovery + the merge). When
+    # the batch is a plain file list with no transport transforms in front
+    # (no source_dedup_horizon watermark dedup), rebuilding the batch from
+    # the checkpoint's per-source file log as a NATIVE parquet scan restores
+    # column pruning (discovery reads conv_id only) and fuses the decode
+    # into the downstream stage by whole-stage codegen (guide §6 / §2.3 —
+    # project before the exchange; measured on the 8.4M-event replay, the
+    # discovery job's task time drops ~8x). Exact same files -> exact same
+    # rows; order within the batch is immaterial to the fused LWW agg
+    # (ties break on (ts, event_seq, src_rank), and event_seq is unique).
+    def _native_batch(batch_id: int) -> DataFrame | None:
+        if os.environ.get("SPARK_GRAFT_NO_NATIVE_BATCH"):
+            return None  # A/B escape hatch (measurement)
+        if config.source_dedup_horizon:
+            return None  # batch_df carries the watermark dedup — keep it
+        per_source = []
+        for i, s in enumerate(sources):
+            log = os.path.join(checkpoint_dir, "sources", str(i), str(batch_id))
+            try:
+                with open(log) as f:
+                    if f.readline().strip() != "v1":
+                        return None
+                    paths = [json.loads(x)["path"] for x in f if x.strip()]
+            except OSError:
+                return None
+            per_source.append(paths)
+        dfs = []
+        for s, paths in zip(sources, per_source):
+            if not paths:
+                continue
+            reader = spark.read.schema(s.schema)
+            # json() takes one path-or-list (extra positionals would bind to
+            # its schema parameter); parquet() is variadic
+            dfs.append(
+                reader.json(list(paths)) if s.format == "jsonl"
+                else reader.parquet(*paths)
+            )
+        if not dfs:
+            return None  # empty batch: the streaming df is already empty
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
     def _apply(df: DataFrame, batch_id: int) -> None:
+        native = _native_batch(batch_id)
+        if native is not None:
+            df = native
         res = apply_batch(spark, table_root, df, batch_id, config=config)
         results.append(res)
         if on_batch is not None:

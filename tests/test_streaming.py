@@ -143,3 +143,31 @@ def test_source_dedup_converges_identically(spark, tmp_path, binlog_basic, small
     assert sum(r.events_applied for r in r_dedup) == sum(
         r.events_applied for r in r_plain
     )
+
+
+def test_native_batch_rebuild_equals_streaming_df(
+    spark, tmp_path, binlog_basic, small_cfg, monkeypatch
+):
+    """Round-6 optimization: when a microbatch is a plain file list (no
+    watermark dedup in front), the replay rebuilds it from the checkpoint's
+    per-source file log as a native parquet scan (column pruning + codegen)
+    instead of acting on the foreachBatch ExistingRDD. The converged table
+    and every per-batch counter must be identical either way."""
+    binlog, _ = binlog_basic
+
+    def run(tag, env):
+        if env:
+            monkeypatch.setenv("SPARK_GRAFT_NO_NATIVE_BATCH", "1")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_NO_NATIVE_BATCH", raising=False)
+        root = str(tmp_path / f"table_{tag}")
+        results = replay_stream(
+            spark, binlog, root, str(tmp_path / f"ckpt_{tag}"),
+            config=small_cfg, max_files_per_trigger=2,
+        )
+        return _table_pandas(spark, root), [r.counters() for r in results]
+
+    got_native, counters_native = run("native", env=False)
+    got_rdd, counters_rdd = run("rdd", env=True)
+    assert counters_native == counters_rdd
+    pd.testing.assert_frame_equal(got_native, got_rdd)
