@@ -439,8 +439,38 @@ def apply_batch(
             carried.append(f)
     carry_paths = {f.path for f in carried if f.bucket in replace_buckets}
 
-    target = table.scan(spark, with_meta=True, files=read_files)
-    target = _null_fill(target, phys).select(*phys_cols).withColumns(
+    # Row-mode MoR payload pruning (round 6, guide §8: shuffle a lightweight
+    # proxy, not the payload): a target row in a NON-compact bucket can only
+    # ever (a) win its key — then the row is unchanged and never written —
+    # or (b) lose to a batch row — then the written payload is the batch
+    # row's. Either way its payload columns never reach the output, so
+    # those files are scanned metadata-only (keys + order cols + _deleted +
+    # _del_hw) with payload as typed nulls: parquet column pruning skips
+    # the text decode and the fused-merge exchange ships ~half the bytes on
+    # every delta-append batch. Compact buckets (full bucket rewrite) and
+    # coalesce mode (stored column values can fill into written rows) keep
+    # the full scan. SPARK_GRAFT_NO_TARGET_PRUNE=1 restores it for A/B.
+    meta_keep = set(key_cols) | set(order_cols) | {"_deleted", "_del_hw"}
+    prune_ok = (
+        config.merge_mode == "mor"
+        and config.column_merge != "coalesce"
+        and not os.environ.get("SPARK_GRAFT_NO_TARGET_PRUNE")
+    )
+    full_files = [f for f in read_files if not prune_ok or f.bucket in compact]
+    meta_files = [f for f in read_files if prune_ok and f.bucket not in compact]
+    target = _null_fill(
+        table.scan(spark, with_meta=True, files=full_files), phys
+    ).select(*phys_cols)
+    if meta_files:
+        meta = table.scan(spark, with_meta=True, files=meta_files).select(*[
+            # cast: a same-batch widening may have widened a key/order col
+            # (table -> phys is always a widening, so the cast is lossless)
+            F.col(f.name).cast(f.dataType).alias(f.name) if f.name in meta_keep
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in phys.fields
+        ])
+        target = target.unionByName(meta)
+    target = target.withColumns(
         {"_src_rank": F.lit(1), "_n_s": F.lit(0).cast("long"),
          "_has_t": F.lit(True), "_commit_seq": commit_seq_col()}
     )

@@ -130,3 +130,47 @@ def test_mor_time_travel(spark, tmp_path, segments_basic, mor_cfg):
     pd.testing.assert_frame_equal(
         got[LOGICAL_COLS], sim2.table[LOGICAL_COLS], check_dtype=False
     )
+
+
+def test_target_payload_prune_equivalent(spark, tmp_path, monkeypatch):
+    """Round-6 optimization: in row-mode MoR, target files in non-compact
+    buckets are scanned metadata-only (their payload can never reach the
+    output). The converged table, per-batch counters and written-file row
+    sets must be identical with the pruning disabled."""
+    import pandas as pd
+
+    from sfr_ingest_pipeline_spark.config import EngineConfig
+    from sfr_ingest_pipeline_spark.generator import generate_binlog
+    from sfr_ingest_pipeline_spark.streaming.replay import replay_stream
+    from sfr_ingest_pipeline_spark.table.transcript_table import TranscriptTable
+
+    binlog = str(tmp_path / "binlog")
+    generate_binlog(
+        binlog, seed=77, n_conversations=40, n_events=3000, n_segments=6,
+        delete_ratio=0.1, duplicate_ratio=0.1, late_ratio=0.1, ts_tie_ratio=0.1,
+    )
+    cfg = EngineConfig(
+        n_buckets=8, n_salt=1, shuffle_partitions=8, merge_mode="mor",
+        compact_delta_files=2,
+    )
+
+    def run(tag, env):
+        if env:
+            monkeypatch.setenv("SPARK_GRAFT_NO_TARGET_PRUNE", "1")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_NO_TARGET_PRUNE", raising=False)
+        root = str(tmp_path / f"t_{tag}")
+        results = replay_stream(
+            spark, binlog, root, str(tmp_path / f"c_{tag}"),
+            config=cfg, max_files_per_trigger=2,
+        )
+        got = (
+            TranscriptTable.load(root).scan(spark)
+            .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+        )
+        return got, [r.counters() for r in results]
+
+    got_pruned, counters_pruned = run("pruned", env=False)
+    got_full, counters_full = run("full", env=True)
+    assert counters_pruned == counters_full
+    pd.testing.assert_frame_equal(got_pruned, got_full)
