@@ -458,18 +458,25 @@ def apply_batch(
     )
     full_files = [f for f in read_files if not prune_ok or f.bucket in compact]
     meta_files = [f for f in read_files if prune_ok and f.bucket not in compact]
-    target = _null_fill(
-        table.scan(spark, with_meta=True, files=full_files), phys
-    ).select(*phys_cols)
+    branches = []
+    if full_files or not meta_files:
+        # (the empty-file scan is a createDataFrame([], phys) python-RDD
+        # relation — only union it in when it actually carries the schema,
+        # i.e. when there is no other target branch)
+        branches.append(_null_fill(
+            table.scan(spark, with_meta=True, files=full_files), phys
+        ).select(*phys_cols))
     if meta_files:
-        meta = table.scan(spark, with_meta=True, files=meta_files).select(*[
+        branches.append(table.scan(spark, with_meta=True, files=meta_files).select(*[
             # cast: a same-batch widening may have widened a key/order col
             # (table -> phys is always a widening, so the cast is lossless)
             F.col(f.name).cast(f.dataType).alias(f.name) if f.name in meta_keep
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in phys.fields
-        ])
-        target = target.unionByName(meta)
+        ]))
+    target = branches[0]
+    for b in branches[1:]:
+        target = target.unionByName(b)
     target = target.withColumns(
         {"_src_rank": F.lit(1), "_n_s": F.lit(0).cast("long"),
          "_has_t": F.lit(True), "_commit_seq": commit_seq_col()}
